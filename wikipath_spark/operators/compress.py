@@ -1,0 +1,98 @@
+"""Redirect/alias chain compression — pointer-jumping fixpoint.
+
+Spark re-expression of the reference's ``compress_redirect_chains``
+(parse.rs:541-608, fixtures parse.rs:743-850): flatten alias chains to their
+terminal targets, remove self-redirects, and remove every chain that is part
+of — or leads into — a cycle.
+
+The reference does a memoized sequential walk per source with per-walk cycle
+detection.  Distributed, we use **pointer doubling**: each iteration replaces
+``dst`` with ``dst``'s own target when one exists, doubling the resolved
+distance, so acyclic chains of length L flatten in ⌈log2 L⌉ iterations.
+Chains touching a cycle never resolve to a terminal; after convergence (or
+the log-bound cap) their ``dst`` still appears as a source, and one anti-join
+removes them — exactly the reference's cycle semantics.
+
+Scale: the redirect table is a small fraction of the page set (aliases are
+rare), each iteration is one self-equi-join on ``dst = src`` — broadcastable
+when small, shuffle-hash otherwise — and ``localCheckpoint`` truncates the
+per-iteration lineage growth.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compress_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Compress an alias map ``(src, dst)`` to terminal targets.
+
+    Returns the compressed map: every surviving row points directly at a
+    terminal (non-source) vertex; self-redirects and all cycle-touching
+    chains are gone (parse.rs:756-804 semantics).
+    """
+    # NB: self-redirects are NOT pre-filtered — the reference treats x→x as a
+    # 1-cycle, so chains *into* a self-redirect must also die (parse.rs:767-779
+    # fixture: {1:2, 2:2} ⇒ both removed). A self-loop is stable under pointer
+    # jumping and the final cycle anti-join removes it plus its feeders.
+    r = redirects.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    r = r.localCheckpoint(eager=True)
+    n = r.count()
+    if n == 0:
+        return r
+    cap = max_iters if max_iters is not None else int(math.ceil(math.log2(n + 1))) + 2
+
+    for _ in range(cap):
+        hop = r.select(F.col("src").alias("h_src"), F.col("dst").alias("h_dst"))
+        stepped = (
+            r.join(hop, r["dst"] == hop["h_src"], "left")
+            .select(
+                "src",
+                F.coalesce("h_dst", "dst").alias("dst"),
+                (F.col("h_dst").isNotNull() & (F.col("h_dst") != F.col("dst"))).alias("_changed"),
+            )
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter("_changed").count()
+        r = stepped.select("src", "dst")
+        if changed == 0:
+            break
+
+    # Cycle residue: any row whose final dst is still a source never reached
+    # a terminal → it is on, or feeds into, a cycle. Drop it (parse.rs:782-804).
+    keys = r.select(F.col("src").alias("k")).distinct()
+    return r.join(keys, r["dst"] == keys["k"], "left_anti")
+
+
+def resolve_through(
+    df: DataFrame,
+    redirects: DataFrame,
+    cols: list[str],
+    broadcast: bool = True,
+) -> DataFrame:
+    """Map each id column through the compressed alias map with identity
+    fallback — the reference's ``redirects.get(x).unwrap_or(x)`` applied to
+    both endpoints (parse.rs:360-361).  Canonical left-join + coalesce (J4);
+    the compressed map is broadcast when small.
+    """
+    r = redirects.select("src", "dst")
+    if broadcast:
+        r = F.broadcast(r)
+    out = df
+    for c in cols:
+        rr = r.select(F.col("src").alias(f"_r_{c}"), F.col("dst").alias(f"_t_{c}"))
+        out = (
+            out.join(rr, out[c] == rr[f"_r_{c}"], "left")
+            .withColumn(c, F.coalesce(f"_t_{c}", c))
+            .drop(f"_r_{c}", f"_t_{c}")
+        )
+    return out

@@ -1,0 +1,189 @@
+"""PageRank by power iteration — the engine's benchmark kernel.
+
+No counterpart exists in the reference (its only traversal is bidirectional
+BFS, search.rs:23-217); semantics are the standard definition required by the
+north rule: damping 0.85, dangling-mass redistribution, convergence at
+L∞ < 1e-6, scores validated against a numpy oracle (allclose 1e-6).
+
+Each superstep is one explicit shuffle: ``ranks ⋈ edges on src`` then
+``groupBy(dst).sum``.  Two message-aggregation physical strategies:
+
+- ``impl="sql"``  — built-in hash aggregate (whole-stage codegen, partial
+  map-side combine for free).
+- ``impl="csr"``  — per-partition sparse gather-scatter: messages grouped by
+  ``pmod(xxhash64(dst), P)`` and summed inside ``applyInPandas`` with
+  ``np.add.at`` over factorized (CSR-style) dst indices — the Arrow-batched
+  kernel path the north star mandates; useful headroom for fatter per-vertex
+  state than a single double.
+
+Skew: hub vertices (power-law in-degree, the Wikipedia-style distribution the
+reference's adjacency lists embody, database.rs:225-243) concentrate one
+groupBy key.  ``salt_partials=k`` turns the aggregation into salted two-stage
+(partial sums over (dst, salt) then final over dst) via operators/skew.py.
+
+Lineage: driver-side iteration grows the plan each superstep;
+``localCheckpoint`` every ``checkpoint_every`` steps truncates it, and an
+optional durable checkpoint (plans/checkpoint.py) makes runs resumable with
+per-partition lineage + convergence metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wikipath_spark.operators.skew import salted_sum
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame          # (page_id, rank)
+    iterations: int
+    delta: float              # final L∞ delta
+    converged: bool
+
+
+def _csr_partial_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group sparse scatter-add: sum contribs by dst with numpy.
+
+    Factorize dst into dense local indices (a per-partition CSR column
+    index), then ``np.add.at`` — one vectorized pass, no Python per row.
+    """
+    dst_codes, dst_uniques = pd.factorize(pdf["dst"], sort=False)
+    sums = np.zeros(len(dst_uniques), dtype=np.float64)
+    np.add.at(sums, dst_codes, pdf["contrib"].to_numpy())
+    return pd.DataFrame({"dst": dst_uniques, "partial": sums})
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    impl: str = "sql",
+    salt_partials: int = 0,
+    checkpoint_every: int = 5,
+    on_superstep=None,
+) -> PageRankResult:
+    """Power-iteration PageRank over a directed ``(src, dst)`` edge table.
+
+    ``vertices``: optional (page_id) frame; defaults to ids present in edges.
+    ``on_superstep(i, ranks_df, delta)`` is the checkpoint hook.
+    Returned ranks sum to 1 and include dangling vertices.
+    """
+    spark = edges.sparkSession
+    sc_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("page_id"))
+            .union(edges.select(F.col("dst").alias("page_id")))
+            .distinct()
+        )
+    vertices = vertices.select("page_id").persist()
+    n = vertices.count()
+    if n == 0:
+        empty = vertices.withColumn("rank", F.lit(0.0))
+        return PageRankResult(empty, 0, 0.0, True)
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # contribution edges: weight = 1/out_deg, partitioned once by src and
+    # reused every superstep (the join's build side never re-shuffles)
+    contrib_edges = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .repartition(sc_parts, "src")
+        .persist()
+    )
+    contrib_edges.count()  # materialize
+
+    dangling = vertices.join(edges.select("src").distinct(),
+                             vertices["page_id"] == F.col("src"), "left_anti").persist()
+
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n)).persist()
+    base = (1.0 - damping) / n
+    delta = float("inf")
+    it = 0
+    for it in range(1, max_iter + 1):
+        dangling_mass = (
+            ranks.join(dangling, "page_id", "left_semi").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        msgs = (
+            contrib_edges.join(ranks, contrib_edges["src"] == ranks["page_id"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        if impl == "csr":
+            # applyInPandas over hash buckets: Arrow-batched numpy scatter-add
+            sums = (
+                msgs.withColumn("_b", F.pmod(F.xxhash64("dst"), F.lit(sc_parts)))
+                .groupBy("_b")
+                .applyInPandas(
+                    lambda pdf: _csr_partial_sum(pdf[["dst", "contrib"]]),
+                    schema="dst long, partial double",
+                )
+                .groupBy("dst")
+                .agg(F.sum("partial").alias("msum"))
+            )
+        elif salt_partials > 1:
+            sums = salted_sum(msgs, key="dst", value="contrib", salt=salt_partials, out="msum")
+        else:
+            sums = msgs.groupBy("dst").agg(F.sum("contrib").alias("msum"))
+
+        const = base + damping * dangling_mass / n
+        new_ranks = (
+            vertices.join(sums, vertices["page_id"] == sums["dst"], "left")
+            .select(
+                "page_id",
+                (F.lit(const) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if it % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.persist()
+
+        # L∞ convergence via join — no UDF (SURVEY.md §4.5)
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "page_id")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if on_superstep is not None:
+            on_superstep(it, ranks, delta)
+        if delta < tol:
+            break
+
+    contrib_edges.unpersist()
+    dangling.unpersist()
+    vertices.unpersist()
+    return PageRankResult(ranks, it, float(delta), delta < tol)
+
+
+def pagerank_numpy_oracle(edge_list, n=None, damping=0.85, tol=1e-6, max_iter=100):
+    """Driver-side numpy oracle (tests only): identical semantics."""
+    edges = np.asarray(edge_list, dtype=np.int64)
+    ids = np.unique(edges) if n is None else np.arange(n)
+    idx = {v: i for i, v in enumerate(ids)}
+    src = np.array([idx[s] for s, _ in edges])
+    dst = np.array([idx[d] for _, d in edges])
+    nn = len(ids)
+    out_deg = np.bincount(src, minlength=nn)
+    r = np.full(nn, 1.0 / nn)
+    for _ in range(max_iter):
+        dangling_mass = r[out_deg == 0].sum()
+        contrib = np.zeros(nn)
+        np.add.at(contrib, dst, r[src] / out_deg[src])
+        new = (1 - damping) / nn + damping * (contrib + dangling_mass / nn)
+        if np.abs(new - r).max() < tol:
+            r = new
+            break
+        r = new
+    return dict(zip(ids.tolist(), r.tolist()))

@@ -1,0 +1,57 @@
+"""Skew-mitigation helpers for power-law keys.
+
+AQE's skew handling covers *joins* only; a ``groupBy`` on a power-law ``dst``
+(hub vertices — the Wikipedia-style in-degree distribution the reference's
+adjacency lists embody, database.rs:225-243) still lands a hub's entire
+in-neighborhood in one task.  ``salted_sum`` turns that into two stages:
+partial aggregation over ``(key, salt)`` — spreading a hub across ``salt``
+tasks — then a final aggregation over ``key`` with at most ``salt`` rows per
+hub.  For algebraic aggregates (sum/count/min/max) this is exact.
+
+``degree_histogram`` sizes the salt factor from the actual distribution
+(SURVEY.md §4.2: choose S from the degree histogram, computed once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt: int,
+    out: str = "sum",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Exact two-stage sum of ``value`` by ``key`` with salt-spread partials.
+
+    ``salt_source``: optional column whose hash picks the salt bucket
+    (deterministic); defaults to a round-robin on ``monotonically_increasing_id``
+    being unacceptable for determinism, we hash the full row's value column.
+    """
+    seed_col = F.col(salt_source) if salt_source else F.col(value)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key), seed_col), F.lit(salt)))
+    partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
+    return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def degree_histogram(edges: DataFrame, key: str = "dst") -> DataFrame:
+    """log2-bucketed degree histogram — one small aggregate used to pick the
+    salt factor (hubs ⇒ max bucket ≫ median bucket)."""
+    deg = edges.groupBy(key).agg(F.count("*").alias("deg"))
+    return (
+        deg.withColumn("bucket", F.floor(F.log2("deg")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("vertices"), F.max("deg").alias("max_deg"))
+        .orderBy("bucket")
+    )
+
+
+def pick_salt(edges: DataFrame, key: str = "dst", rows_per_task: int = 5_000_000) -> int:
+    """Salt factor = ceil(max_degree / rows_per_task), ≥1."""
+    row = edges.groupBy(key).agg(F.count("*").alias("deg")).agg(F.max("deg")).collect()[0]
+    max_deg = row[0] or 0
+    return max(1, -(-max_deg // rows_per_task))

@@ -1,0 +1,152 @@
+"""Graph build pipeline: source table → ``pages`` / ``redirects`` / ``edges``.
+
+The Spark re-expression of the reference's whole build (build.rs:19-134):
+
+1. extract references + aliases from ``content`` (Arrow-batched pandas UDF ≈
+   the regex extractors, parse.rs:174-387),
+2. assign dense page ids (≈ title→id map, parse.rs:174-212; dense so CSR
+   kernels can index numpy arrays, cf. the BTreeMap density note
+   database.rs:252),
+3. resolve reference targets by (repo, path) — inner join, dangling refs
+   drop out (P4, parse.rs:354-358),
+4. compress the alias map (G1, parse.rs:541-608),
+5. resolve both edge endpoints through the compressed map with identity
+   fallback (J4, parse.rs:360-361), drop self-links (P3, parse.rs:363-365),
+   dedup (A2, database.rs:231-242) → one distinct ``(src, dst)`` edge table
+   replacing the reference's incoming+outgoing LMDB pair (either adjacency
+   is a groupBy away).
+
+Parse-statistics counters (A5/A6, parse.rs:500-534) ride along via
+``df.observe`` — no extra jobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wikipath_spark.functions.extract import extract_refs_sql, extract_refs_udf, sha256_col
+from wikipath_spark.operators.compress import compress_redirects, resolve_through
+
+
+@dataclass
+class GraphTables:
+    pages: DataFrame      # (page_id, repo, path, lang, commit, content_sha256, is_alias)
+    redirects: DataFrame  # (src, dst) — compressed
+    edges: DataFrame      # (src, dst) — resolved, self-free, distinct
+    stats: dict = field(default_factory=dict)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    partition_col: str = "repo",
+    order_cols: tuple[str, ...] = ("path",),
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Deterministic dense 0..N-1 ids.
+
+    Two-level scheme that avoids a single global window: a per-partition-key
+    ``row_number`` (parallel across keys) plus driver-computed base offsets
+    (one tiny aggregate).  PageId is u32 in the reference (database.rs:11);
+    we use LongType throughout (Spark has no unsigned 32-bit).
+
+    At 10^12 rows the partition key must be finer than ``repo`` for mega
+    repos — callers can pass e.g. a (repo, path-prefix) derived column; the
+    offsets aggregate stays tiny relative to the data.
+    """
+    counts = df.groupBy(partition_col).count().orderBy(partition_col).collect()
+    offsets, base = {}, 0
+    for row in counts:
+        offsets[row[partition_col]] = base
+        base += row["count"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in offsets.items()], f"{partition_col} string, _base long"
+        )
+    )
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    return (
+        df.join(off_df, partition_col)
+        .withColumn(id_col, F.row_number().over(w) + F.col("_base") - 1)
+        .drop("_base")
+    )
+
+
+def build_graph(
+    spark: SparkSession,
+    repos_df: DataFrame,
+    extractor: str = "pandas",
+    broadcast_redirects: bool = True,
+    with_stats: bool = False,
+) -> GraphTables:
+    """Run the full build. ``extractor`` ∈ {"pandas", "sql"} (identical
+    semantics; pandas is the mandated Arrow path, sql the JVM benchmark)."""
+    extract = extract_refs_udf if extractor == "pandas" else extract_refs_sql
+
+    extracted = repos_df.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        extract(F.col("content"), F.col("lang")).alias("_x"),
+        sha256_col(F.col("content")).alias("content_sha256"),
+    )
+
+    pages = assign_dense_ids(
+        extracted.select(
+            "repo",
+            "path",
+            "lang",
+            "commit",
+            "content_sha256",
+            F.col("_x.alias").isNotNull().alias("is_alias"),
+            F.col("_x.refs").alias("_refs"),
+            F.col("_x.alias").alias("_alias"),
+        )
+    ).persist()
+
+    id_by_path = pages.select("repo", "path", "page_id")
+
+    # alias rows → raw redirects; dangling alias targets drop out via the
+    # inner join, like every unresolvable (ns,title) probe (parse.rs:243-247)
+    alias_rows = pages.filter(F.col("is_alias")).select(
+        "repo", F.col("page_id").alias("src"), F.col("_alias").alias("_target_path")
+    )
+    tgt = id_by_path.select(
+        "repo", F.col("path").alias("_target_path"), F.col("page_id").alias("dst")
+    )
+    redirects_raw = alias_rows.join(tgt, ["repo", "_target_path"], "inner").select("src", "dst")
+    redirects = compress_redirects(redirects_raw).persist()
+
+    # reference rows → raw edges
+    refs = pages.select(
+        "repo", F.col("page_id").alias("src"), F.explode("_refs").alias("_ref_path")
+    )
+    tgt2 = id_by_path.select(
+        "repo", F.col("path").alias("_ref_path"), F.col("page_id").alias("dst")
+    )
+    resolved = refs.join(tgt2, ["repo", "_ref_path"], "inner").select("src", "dst")
+
+    edges = (
+        resolve_through(resolved, redirects, ["src", "dst"], broadcast=broadcast_redirects)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+    # alias pages are not graph vertices once compressed away; edges from an
+    # alias page resolve to its target (parse.rs:360) — already handled above.
+    pages_out = pages.drop("_refs", "_alias")
+
+    stats: dict = {}
+    if with_stats:
+        stats = {
+            "pages": pages_out.count(),
+            "aliases": pages.filter("is_alias").count(),
+            "redirects_compressed": redirects.count(),
+            "edges": edges.count(),
+        }
+    return GraphTables(pages=pages_out, redirects=redirects, edges=edges, stats=stats)
