@@ -1,0 +1,53 @@
+"""Redirect-compression fixtures ported verbatim from the reference
+(parse.rs:743-850) — the authoritative chain/cycle semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikipath_spark.operators.compress import compress_redirects, resolve_through
+
+FIXTURES = [
+    # (name, input map, expected compressed map, reference lines)
+    ("chain_flatten", {1: 2, 2: 3, 3: 4}, {1: 4, 2: 4, 3: 4}),          # parse.rs:743-753
+    ("self_removed", {1: 1, 2: 3}, {2: 3}),                              # parse.rs:756-764
+    ("mixed", {1: 2, 2: 2, 3: 4, 4: 5}, {3: 5, 4: 5}),                   # parse.rs:767-779
+    ("cycle3", {1: 2, 2: 3, 3: 1}, {}),                                  # parse.rs:782-790
+    ("cycle5_tail", {1: 2, 2: 3, 3: 4, 4: 5, 5: 1, 10: 1}, {}),          # parse.rs:793-804
+    ("terminal_kept", {10: 99}, {10: 99}),                               # parse.rs:807-813
+    ("shared_tail", {1: 3, 2: 3, 3: 4, 4: 8}, {1: 8, 2: 8, 3: 8, 4: 8}),  # parse.rs:816-828
+    (
+        "disjoint_components",
+        {1: 2, 2: 7, 10: 11, 11: 12, 12: 10, 20: 10},
+        {1: 7, 2: 7},
+    ),  # parse.rs:831-850
+]
+
+
+@pytest.mark.parametrize("name,inp,expected", FIXTURES, ids=[f[0] for f in FIXTURES])
+def test_compress_fixture(spark, name, inp, expected):
+    df = spark.createDataFrame(list(inp.items()), "src long, dst long")
+    got = {r.src: r.dst for r in compress_redirects(df).collect()}
+    assert got == expected
+
+
+def test_compress_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert compress_redirects(df).count() == 0
+
+
+def test_compress_long_chain(spark):
+    # 0→1→…→63: log-bound pointer doubling must fully flatten
+    df = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
+    got = {r.src: r.dst for r in compress_redirects(df).collect()}
+    assert got == {i: 63 for i in range(63)}
+
+
+def test_resolve_through_identity_fallback(spark):
+    redirects = spark.createDataFrame([(1, 9)], "src long, dst long")
+    df = spark.createDataFrame([(1, 2), (3, 1), (3, 4)], "src long, dst long")
+    got = {
+        (r.src, r.dst)
+        for r in resolve_through(df, redirects, ["src", "dst"]).collect()
+    }
+    assert got == {(9, 2), (3, 9), (3, 4)}
