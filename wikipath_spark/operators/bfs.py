@@ -1,0 +1,258 @@
+"""Bidirectional BFS shortest paths — wikipath query parity.
+
+Spark re-expression of the reference's search core (search.rs:23-217):
+
+- endpoints resolved through the compressed redirect map with
+  ``*_is_redirect`` flags (G7, search.rs:27-32),
+- equal source/target short-circuit: length 0, count 1 (search.rs:54-56),
+- two level-synchronous BFS waves — forward over outgoing edges, backward
+  over incoming — always expanding the side with the **smaller frontier**
+  (search.rs:63); the frontier counts driving that choice double as the
+  termination check (either queue empties ⇒ no path, length 0 / count 0,
+  search.rs:178-182),
+- level-synchronous predecessor tracking: predecessor edges discovered in a
+  level merge into the visited set only after the level completes
+  (search.rs:60, 87-96) — free in Spark since each superstep derives from the
+  immutable previous ``visited`` DataFrame,
+- meeting detection: newly discovered vertices ∩ other side's visited
+  (search.rs:80-82, 117-119),
+- shortest-path DAG extraction by walking predecessor layers from the
+  meeting set toward each endpoint, and exact path counting as
+  Σ fwd_count(v)·bwd_count(v) over meeting vertices with memoized per-vertex
+  DP (search.rs:144-217),
+- ≤k path enumeration in ascending-id order (web/src/api.ts:64-84, cap 8).
+
+Each superstep is one join + anti-join on the full edge table (explicit
+shuffle); visited/frontier state stays distributed.  Only the final result
+DAG — small by construction, it is the reference's JSON payload — is
+collected for the driver-side DP, mirroring the reference's memoized count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Paths:
+    """Result shape of the reference's ``Paths`` struct (search.rs:6-18)."""
+
+    source: int
+    source_is_redirect: bool
+    target: int
+    target_is_redirect: bool
+    links: dict[int, list[int]] = field(default_factory=dict)
+    length: int = 0
+    count: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "source": self.source,
+            "source_is_redirect": self.source_is_redirect,
+            "target": self.target,
+            "target_is_redirect": self.target_is_redirect,
+            "links": self.links,
+            "length": self.length,
+            "count": self.count,
+        }
+
+
+def _resolve(redirects: DataFrame | None, vertex: int) -> tuple[int, bool]:
+    if redirects is None:
+        return vertex, False
+    row = redirects.filter(F.col("src") == vertex).select("dst").collect()
+    return (row[0].dst, True) if row else (vertex, False)
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    redirects: DataFrame | None = None,
+    max_supersteps: int = 50,
+) -> Paths:
+    """Shortest-path DAG + exact count between two vertices."""
+    spark = edges.sparkSession
+    src_id, src_red = _resolve(redirects, source)
+    dst_id, dst_red = _resolve(redirects, target)
+    res = Paths(src_id, src_red, dst_id, dst_red)
+
+    if src_id == dst_id:
+        res.length, res.count = 0, 1
+        return res
+
+    edges = edges.select("src", "dst")
+
+    def one(v: int) -> DataFrame:
+        return spark.createDataFrame([(v,)], "id long")
+
+    # visited: (id, depth); DAG edge stores (pred, id, depth-of-id) per side
+    fwd_visited, bwd_visited = one(src_id), one(dst_id)
+    fwd_frontier, bwd_frontier = one(src_id), one(dst_id)
+    fwd_dag: list[DataFrame] = []  # (pred, id, depth)
+    bwd_dag: list[DataFrame] = []  # (id, succ, depth)
+    fwd_depth = bwd_depth = 0
+    fwd_n = bwd_n = 1
+    meeting: DataFrame | None = None
+
+    for _ in range(max_supersteps):
+        if fwd_n == 0 or bwd_n == 0:
+            return res  # a side exhausted: no path (search.rs:178-182)
+        # strictly-smaller queue expands; ties expand backward (search.rs:63)
+        expand_fwd = fwd_n < bwd_n
+        if expand_fwd:
+            cand = (
+                fwd_frontier.join(edges, fwd_frontier["id"] == edges["src"])
+                .select(F.col("id").alias("pred"), F.col("dst").alias("id"))
+            )
+            new = cand.join(fwd_visited, "id", "left_anti").persist()
+            fwd_depth += 1
+            fwd_dag.append(new.withColumn("depth", F.lit(fwd_depth)))
+            fwd_frontier = new.select("id").distinct().localCheckpoint(eager=True)
+            fwd_visited = fwd_visited.union(fwd_frontier).localCheckpoint(eager=True)
+            fwd_n = fwd_frontier.count()
+            meet = fwd_frontier.join(bwd_visited, "id", "left_semi")
+        else:
+            cand = (
+                bwd_frontier.join(edges, bwd_frontier["id"] == edges["dst"])
+                .select(F.col("id").alias("succ"), F.col("src").alias("id"))
+            )
+            new = cand.join(bwd_visited, "id", "left_anti").persist()
+            bwd_depth += 1
+            bwd_dag.append(new.withColumn("depth", F.lit(bwd_depth)))
+            bwd_frontier = new.select("id").distinct().localCheckpoint(eager=True)
+            bwd_visited = bwd_visited.union(bwd_frontier).localCheckpoint(eager=True)
+            bwd_n = bwd_frontier.count()
+            meet = bwd_frontier.join(fwd_visited, "id", "left_semi")
+        meet = meet.persist()
+        if meet.limit(1).count() > 0:
+            meeting = meet
+            break
+        meet.unpersist()
+    if meeting is None:
+        return res
+
+    res.length = fwd_depth + bwd_depth
+
+    # ---- DAG extraction: walk layers from the meeting set to each endpoint.
+    # Collected sets stay small (the result DAG is the API payload).
+    meet_ids = {r.id for r in meeting.collect()}
+
+    links: dict[int, set[int]] = {}
+
+    # forward side: depths fwd_depth..1; meeting vertices sit at depths ≤ fwd_depth
+    # (a meeting vertex discovered earlier by fwd sits at its own depth). The
+    # reference walks per meeting vertex; we walk per layer with a want-set.
+    def depth_of(visited_dags: list[DataFrame], ids: set[int]) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for d, layer in enumerate(visited_dags, start=1):
+            found = layer.join(
+                layer.sparkSession.createDataFrame([(i,) for i in ids] or [(None,)], "id long"),
+                "id",
+                "left_semi",
+            ).select("id").distinct().collect()
+            for r in found:
+                out.setdefault(r.id, d)
+        return out
+
+    # fwd DP: count[src_id]=1 at depth 0; walk down layers restricted to
+    # vertices on some shortest path into the meeting set.
+    fwd_depths = depth_of(fwd_dag, meet_ids)
+    want: dict[int, set[int]] = {}
+    for v in meet_ids:
+        want.setdefault(fwd_depths.get(v, 0), set()).add(v)
+    fwd_edges: list[tuple[int, int]] = []
+    needed: set[int] = set()
+    for d in range(max(want) if want else 0, 0, -1):
+        needed |= want.get(d, set())
+        if not needed:
+            continue
+        layer = fwd_dag[d - 1]
+        ids_df = edges.sparkSession.createDataFrame([(i,) for i in needed], "id long")
+        rows = layer.join(ids_df, "id", "left_semi").select("pred", "id").collect()
+        next_needed: set[int] = set()
+        for r in rows:
+            fwd_edges.append((r.pred, r.id))
+            next_needed.add(r.pred)
+        needed = next_needed
+    # DP forward over collected edges (memoized, ≈ count_paths search.rs:191-217)
+    import collections
+
+    indeg: dict[int, list[int]] = collections.defaultdict(list)
+    for p, i in fwd_edges:
+        indeg[i].append(p)
+
+    def fcount(v: int, memo={}) -> int:
+        if v == src_id:
+            return 1
+        if v in memo:
+            return memo[v]
+        memo[v] = sum(fcount(p) for p in indeg[v])
+        return memo[v]
+
+    # backward side symmetric
+    bwd_depths = depth_of(bwd_dag, meet_ids)
+    bwd_edges: list[tuple[int, int]] = []
+    needed = set()
+    wantb: dict[int, set[int]] = {}
+    for v in meet_ids:
+        wantb.setdefault(bwd_depths.get(v, 0), set()).add(v)
+    for d in range(max(wantb) if wantb else 0, 0, -1):
+        needed |= wantb.get(d, set())
+        if not needed:
+            continue
+        layer = bwd_dag[d - 1]
+        ids_df = edges.sparkSession.createDataFrame([(i,) for i in needed], "id long")
+        rows = layer.join(ids_df, "id", "left_semi").select("id", "succ").collect()
+        next_needed = set()
+        for r in rows:
+            bwd_edges.append((r.id, r.succ))
+            next_needed.add(r.succ)
+        needed = next_needed
+    outdeg: dict[int, list[int]] = collections.defaultdict(list)
+    for i, s in bwd_edges:
+        outdeg[i].append(s)
+
+    def bcount(v: int, memo={}) -> int:
+        if v == dst_id:
+            return 1
+        if v in memo:
+            return memo[v]
+        memo[v] = sum(bcount(s) for s in outdeg[v])
+        return memo[v]
+
+    res.count = sum(fcount(v) * bcount(v) for v in meet_ids)
+
+    # links: union of both sides' traversed edges, in source→target direction
+    for p, i in fwd_edges:
+        links.setdefault(p, set()).add(i)
+    for i, s in bwd_edges:
+        links.setdefault(i, set()).add(s)
+    res.links = {k: sorted(v) for k, v in sorted(links.items())}
+    return res
+
+
+def enumerate_paths(paths: Paths, max_paths: int = 8) -> list[list[int]]:
+    """DFS enumeration of ≤``max_paths`` concrete paths, children in
+    ascending-id order — the frontend's algorithm (web/src/api.ts:64-84,
+    145-171, default cap 8)."""
+    out: list[list[int]] = []
+
+    def dfs(v: int, acc: list[int]) -> None:
+        if len(out) >= max_paths:
+            return
+        acc = acc + [v]
+        if v == paths.target:
+            out.append(acc)
+            return
+        for nxt in sorted(paths.links.get(v, [])):
+            dfs(nxt, acc)
+
+    if paths.count > 0 and paths.source == paths.target:
+        return [[paths.source]]
+    if paths.count > 0:
+        dfs(paths.source, [])
+    return out

@@ -1,0 +1,104 @@
+"""Connected components — alternating large-star / small-star.
+
+New capability per the north rule (the reference computes no components; its
+closest notion is BFS reachability, search.rs:23-142).  Algorithm: the
+alternating algorithm of Kiveris et al., "Connected Components in MapReduce
+and Beyond" (SOCC 2014) — converges in O(log²) rounds on any graph and to
+O(log) in practice, each round two self-equi-joins + aggregations (explicit
+shuffles per superstep).
+
+Output is exactly deterministic: every vertex maps to the **minimum vertex id
+of its component** (the required tie-break for exact cross-parallelism
+reproducibility, SURVEY.md §4.4).
+
+Scale notes: rounds touch only the current parent edge set (≤ one row per
+vertex after round 1); hub skew in the neighbor aggregation is a plain
+min-aggregate (algebraic, map-side combinable) so no salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """For each u: m(u) = min(N(u) ∪ {u}) over the symmetric edge set."""
+    sym = edges.select("u", "v")
+    nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return nbr_min.select("u", F.least("u", "mn").alias("m"))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) with v>u → (v, m(u)): strictly-larger neighbors hook onto u's min."""
+    m = _min_neighbor(edges)
+    return (
+        edges.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) with v≤u → (v, m(u)) ∪ (u, m(u)): smaller neighbors re-hook."""
+    smaller = edges.filter(F.col("v") <= F.col("u"))
+    m = _min_neighbor(smaller)
+    hooked = (
+        smaller.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return hooked
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Undirected connected components over a directed edge table.
+
+    Returns ``(page_id, component)`` where component = min id in component.
+    Isolated vertices absent from ``edges`` are absent here; union the vertex
+    table with identity components if needed (plans/analytics does).
+    """
+    # symmetrize once; each round operates on the shrinking parent-edge set
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for i in range(max_iter):
+        ls = _large_star(e)
+        # large-star output is asymmetric (child→parent); symmetrize for the
+        # next neighborhood computation
+        sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        ss = _small_star(sym)
+        new_e = ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        new_e = new_e.localCheckpoint(eager=True)
+        # converged when the edge set reaches its fixed point (star forest)
+        if new_e.count() == e.count() and new_e.exceptAll(e).limit(1).count() == 0:
+            e = new_e
+            break
+        e = new_e
+    # star forest: component(u) = min neighbor (parent); parents map to themselves
+    parent = e.groupBy("u").agg(F.min("v").alias("p"))
+    comp = parent.select(
+        F.col("u").alias("page_id"), F.least("u", "p").alias("component")
+    )
+    # vertices that are component minima may only appear as parents (v side)
+    roots = (
+        e.select(F.col("v").alias("page_id"))
+        .distinct()
+        .join(comp.select("page_id"), "page_id", "left_anti")
+        .withColumn("component", F.col("page_id"))
+    )
+    return comp.union(roots)
