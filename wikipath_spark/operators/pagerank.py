@@ -69,6 +69,9 @@ def pagerank(
     salt_partials: int = 0,
     checkpoint_every: int = 5,
     on_superstep=None,
+    checkpoint_mgr=None,
+    checkpoint_interval: int = 10,
+    resume: bool = False,
 ) -> PageRankResult:
     """Power-iteration PageRank over a directed ``(src, dst)`` edge table.
 
@@ -106,10 +109,18 @@ def pagerank(
                              vertices["page_id"] == F.col("src"), "left_anti").persist()
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n)).persist()
+    start_it = 0
+    if checkpoint_mgr is not None and resume:
+        latest = checkpoint_mgr.latest()
+        if latest is not None:
+            loaded, _metric = checkpoint_mgr.load(spark, latest)
+            ranks.unpersist()
+            ranks = loaded.select("page_id", "rank").persist()
+            start_it = latest
     base = (1.0 - damping) / n
     delta = float("inf")
-    it = 0
-    for it in range(1, max_iter + 1):
+    it = start_it
+    for it in range(start_it + 1, max_iter + 1):
         dangling_mass = (
             ranks.join(dangling, "page_id", "left_semi").agg(F.sum("rank")).collect()[0][0]
             or 0.0
@@ -156,9 +167,12 @@ def pagerank(
         )
         ranks.unpersist()
         ranks = new_ranks
+        converged_now = delta < tol
+        if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged_now):
+            checkpoint_mgr.save(it, ranks, float(delta))
         if on_superstep is not None:
             on_superstep(it, ranks, delta)
-        if delta < tol:
+        if converged_now:
             break
 
     contrib_edges.unpersist()

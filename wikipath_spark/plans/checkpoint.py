@@ -1,0 +1,91 @@
+"""Durable superstep checkpoints with per-partition lineage + metrics.
+
+The reference restarts builds from scratch (its only recovery is deleting a
+stale tmp dir, main.rs:114-119).  The north rule requires better: any
+iterative run must be resumable mid-iteration, with a manifest carrying
+per-partition lineage and the convergence metric.
+
+Layout under ``root``::
+
+    <root>/<run_id>/superstep=<k>/state/      parquet snapshot of the state
+    <root>/<run_id>/superstep=<k>/manifest/   per-partition rows:
+        (run_id, superstep, part_id, rows, checksum, metric)
+    <root>/<run_id>/superstep=<k>/_COMMITTED  atomicity marker
+
+The manifest is computed from the *written* state in one scan grouped by
+``spark_partition_id`` — checksum is an order-insensitive xxhash64 sum, so a
+resume can verify integrity regardless of how parquet re-partitions rows.
+A checkpoint is only valid if ``_COMMITTED`` exists (written last); resume
+picks the highest committed superstep and re-verifies row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, root: str, run_id: str):
+        self.root = root
+        self.run_id = run_id
+
+    def _dir(self, superstep: int) -> str:
+        return os.path.join(self.root, self.run_id, f"superstep={superstep}")
+
+    def save(self, superstep: int, state: DataFrame, metric: float) -> dict:
+        """Write state + manifest; returns the manifest summary."""
+        d = self._dir(superstep)
+        state_dir = os.path.join(d, "state")
+        state.write.mode("overwrite").parquet(state_dir)
+
+        reread = state.sparkSession.read.parquet(state_dir)
+        cols = [F.col(c) for c in reread.columns]
+        manifest = (
+            reread.withColumn("part_id", F.spark_partition_id())
+            .withColumn("_h", F.pmod(F.xxhash64(*cols), F.lit(1 << 31)))
+            .groupBy("part_id")
+            .agg(F.count("*").alias("rows"), F.sum("_h").alias("checksum"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("superstep", F.lit(superstep))
+            .withColumn("metric", F.lit(float(metric)))
+            .select("run_id", "superstep", "part_id", "rows", "checksum", "metric")
+        )
+        manifest.write.mode("overwrite").parquet(os.path.join(d, "manifest"))
+        total = reread.count()
+        with open(os.path.join(d, "_COMMITTED"), "w") as f:
+            json.dump({"superstep": superstep, "rows": total, "metric": metric}, f)
+        return {"superstep": superstep, "rows": total, "metric": metric}
+
+    def latest(self) -> int | None:
+        base = os.path.join(self.root, self.run_id)
+        if not os.path.isdir(base):
+            return None
+        steps = []
+        for name in os.listdir(base):
+            if name.startswith("superstep=") and os.path.exists(
+                os.path.join(base, name, "_COMMITTED")
+            ):
+                steps.append(int(name.split("=")[1]))
+        return max(steps) if steps else None
+
+    def load(self, spark: SparkSession, superstep: int, verify: bool = True) -> tuple[DataFrame, float]:
+        """Read a committed checkpoint; verify rows against the marker."""
+        d = self._dir(superstep)
+        with open(os.path.join(d, "_COMMITTED")) as f:
+            meta = json.load(f)
+        state = spark.read.parquet(os.path.join(d, "state"))
+        if verify:
+            n = state.count()
+            if n != meta["rows"]:
+                raise ValueError(
+                    f"checkpoint {self.run_id}/superstep={superstep} corrupt: "
+                    f"{n} rows != recorded {meta['rows']}"
+                )
+        return state, float(meta["metric"])
+
+    def manifest(self, superstep: int, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(superstep), "manifest"))
