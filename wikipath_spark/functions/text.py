@@ -1,0 +1,131 @@
+"""Text-analysis primitives for training-data pipelines.
+
+All pure Spark built-ins (JVM-side, whole-stage codegen) — no Python in the
+hot path.  Every function here has an exact ANSI-SQL twin runnable on DuckDB
+(see ``__spark_entry__.oracle_sql``): the only shared primitives are md5,
+substr, regexp, split and arithmetic, verified bit-identical across engines.
+
+The portable 60-bit hash ``h60`` = int(md5(seed || ':' || s)[:15], 16) is the
+backbone of minhash/simhash/fingerprinting — 15 hex digits keep it inside a
+signed 64-bit integer in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|la|los|y|es|una)\b",
+}
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|was)\b"
+
+
+def h60(col: Column, seed: int = 0) -> Column:
+    """Portable 60-bit hash: identical in Spark and DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def h60_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`h60` (string-templated SQL fragment)."""
+    return f"CAST('0x' || substr(md5(concat('{seed}:', {expr})), 1, 15) AS BIGINT)"
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercase alphanumeric tokens — the BPE-ish regex tokenizer.
+    DuckDB twin: ``regexp_extract_all(lower(x), '[a-z0-9]+')``."""
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(word_tokens(col))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank strings count 0.
+    DuckDB twin: ``CASE WHEN trim(x)='' THEN 0 ELSE len(regexp_split_to_array(trim(x),'\\s+')) END``."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def stopword_ratio(col: Column) -> Column:
+    cnt = F.regexp_count(F.lower(col), F.lit(_STOPWORDS))
+    return F.round(F.try_divide(cnt, token_count(col)), 6)
+
+
+def punct_ratio(col: Column) -> Column:
+    punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    return F.round(F.try_divide(punct, F.length(col)), 6)
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = word_tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(F.try_divide(total, F.size(toks)), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document-quality heuristic in [0, ~1]: rewards moderate
+    length, low punctuation noise, and natural-language stopword density."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.coalesce(punct_ratio(col), F.lit(0.0)) * 5, F.lit(1.0))
+    stop_term = F.least(F.coalesce(stopword_ratio(col), F.lit(0.0)) * 4, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID over {en,de,fr,es}, 'und' when nothing hits.
+    Deterministic tie order en > de > fr > es (mirrored in the SQL twin)."""
+    s = {lg: F.regexp_count(F.lower(col), F.lit(pat)) for lg, pat in LANG_MARKERS.items()}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+
+
+def char_ngrams(col: Column, n: int = 4) -> Column:
+    """All char n-grams of lower(col) as an array (may repeat).
+    DuckDB twin: list comprehension over ``range``."""
+    lowered = F.lower(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))),
+        lambda i: F.substring(lowered, i, n),
+    )
+
+
+def fingerprint(col: Column, n: int = 5) -> Column:
+    """Document fingerprint: lexicographic min of the md5 hex of each char
+    n-gram — a rolling-hash-style content signature, portable to DuckDB."""
+    grams = char_ngrams(col, n)
+    hashed = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    return F.array_min(hashed)
+
+
+def simhash60(col: Column) -> Column:
+    """60-bit SimHash over word tokens (unweighted).
+
+    bit b of the fingerprint = 1 iff Σ_tokens sign(bit b of h60(token)) > 0.
+    Computed entirely with array builtins (no shuffle, no UDF): per row,
+    per-bit vote = Σ ((h>>b)&1)*2-1.
+    """
+    toks = word_tokens(col)
+    hashes = F.transform(toks, lambda t: h60(t, 9))
+    out = F.lit(0).cast("long")
+    for b in range(60):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, b=b: acc + (F.shiftright(h, b) % 2) * 2 - 1,
+        )
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
