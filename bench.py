@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the PageRank kernel (the BASELINE.json target:
+supersteps/min and edges-processed/sec to 1e-6 convergence) on the synthetic
+link graph; per-query wall times cover the relational, graph, and
+training-data operator families.  ``value`` is the total wall time of the
+benchmark queries.
+
+Scaling evidence (N vs 4N cores) lives in bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from wikipath_spark.operators.pagerank import pagerank
+from wikipath_spark.plans.build import build_graph
+from wikipath_spark.session import get_spark
+from wikipath_spark.sources.synthetic import synthetic_repos
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "customer_nation_region",
+    "top_orders_per_customer",
+    "order_partkeys",
+    "cc_copurchase",
+    "bfs_distances",
+    "triangles_copurchase",
+    "text_stats",
+    "minhash_lsh_dedup",
+    "simhash",
+    "cosine_topk",
+    "events_windowed",
+    "media_features",
+]
+
+# synthetic graph scale for the PageRank kernel benchmark
+GRAPH_CLASSES = int(os.environ.get("WPS_BENCH_CLASSES", "3000"))
+GRAPH_REPOS = int(os.environ.get("WPS_BENCH_REPOS", "8"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="wikipath_spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    queries = entrymod.queries()
+
+    # ---- headline kernel: build + PageRank on the synthetic link graph
+    t0 = time.time()
+    repos = synthetic_repos(spark, classes_per_repo=GRAPH_CLASSES, repos=GRAPH_REPOS)
+    g = build_graph(spark, repos)
+    g.edges = g.edges.persist()
+    n_edges = g.edges.count()
+    timings["graph_build"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    res = pagerank(g.edges, vertices=g.pages.select("page_id"), tol=1e-6, max_iter=60)
+    pr_time = time.time() - t0
+    timings["pagerank_to_1e-6"] = round(pr_time, 3)
+    supersteps_per_min = res.iterations / pr_time * 60
+    edges_per_sec = n_edges * res.iterations / pr_time
+
+    # ---- operator queries at sf_dir
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "pagerank supersteps/min + edges-processed/sec to 1e-6 (synthetic link graph) + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "pagerank": {
+            "edges": n_edges,
+            "iterations": res.iterations,
+            "converged": res.converged,
+            "delta": res.delta,
+            "supersteps_per_min": round(supersteps_per_min, 2),
+            "edges_per_sec": round(edges_per_sec, 1),
+        },
+        "cores": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,14 +55,22 @@ def whitespace_token_count(col: Column) -> Column:
     )
 
 
-def stopword_ratio(col: Column) -> Column:
+def _stopword_ratio_raw(col: Column) -> Column:
     cnt = F.regexp_count(F.lower(col), F.lit(_STOPWORDS))
-    return F.round(F.try_divide(cnt, token_count(col)), 6)
+    return F.try_divide(cnt, token_count(col))
+
+
+def _punct_ratio_raw(col: Column) -> Column:
+    punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    return F.try_divide(punct, F.length(col))
+
+
+def stopword_ratio(col: Column) -> Column:
+    return F.round(_stopword_ratio_raw(col), 6)
 
 
 def punct_ratio(col: Column) -> Column:
-    punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
-    return F.round(F.try_divide(punct, F.length(col)), 6)
+    return F.round(_punct_ratio_raw(col), 6)
 
 
 def mean_token_len(col: Column) -> Column:
@@ -75,8 +83,8 @@ def quality_score(col: Column) -> Column:
     """Composite document-quality heuristic in [0, ~1]: rewards moderate
     length, low punctuation noise, and natural-language stopword density."""
     length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(F.coalesce(punct_ratio(col), F.lit(0.0)) * 5, F.lit(1.0))
-    stop_term = F.least(F.coalesce(stopword_ratio(col), F.lit(0.0)) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(F.coalesce(_punct_ratio_raw(col), F.lit(0.0)) * 5, F.lit(1.0))
+    stop_term = F.least(F.coalesce(_stopword_ratio_raw(col), F.lit(0.0)) * 4, F.lit(1.0))
     return F.round(0.4 * length_term + 0.3 * punct_term + 0.3 * stop_term, 6)
 
 
@@ -94,12 +102,16 @@ def lang_id(col: Column) -> Column:
 
 
 def char_ngrams(col: Column, n: int = 4) -> Column:
-    """All char n-grams of lower(col) as an array (may repeat).
-    DuckDB twin: list comprehension over ``range``."""
+    """All char n-grams of lower(col) as an array (may repeat); empty for
+    strings shorter than n.  NB: Spark's ``sequence(1, 0)`` counts *down*
+    ([1, 0]) — the explicit guard keeps parity with DuckDB's empty
+    ``generate_series``."""
     lowered = F.lower(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))),
-        lambda i: F.substring(lowered, i, n),
+    return F.when(F.length(lowered) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(lowered) - (n - 1)),
+            lambda i: F.substring(lowered, i, n),
+        )
     )
 
 

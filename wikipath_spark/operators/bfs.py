@@ -235,6 +235,40 @@ def shortest_paths(
     return res
 
 
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Single-source BFS distances (level-synchronous frontier loop).
+
+    Returns ``(page_id, distance)`` for every vertex reachable from
+    ``source`` within ``max_depth`` hops.  Each superstep is one join +
+    anti-join (explicit shuffle); SQL-oracle-checkable via a recursive CTE.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = spark.createDataFrame([(source, 0)], "page_id long, distance int")
+    frontier = visited.select(F.col("page_id").alias("id"))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, F.col("id") == visited["page_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(
+            nxt.select(F.col("id").alias("page_id"), F.lit(depth).alias("distance"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def enumerate_paths(paths: Paths, max_paths: int = 8) -> list[list[int]]:
     """DFS enumeration of ≤``max_paths`` concrete paths, children in
     ascending-id order — the frontend's algorithm (web/src/api.ts:64-84,

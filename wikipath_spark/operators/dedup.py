@@ -59,12 +59,18 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 512,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded minhash LSH.
 
     k minhashes split into ``bands`` bands of k/bands rows; docs sharing any
     band bucket become candidates; candidates are verified with the exact
     shingle Jaccard (so the threshold is exact, LSH only prunes).
+
+    ``max_bucket`` drops buckets larger than that from pair generation — the
+    posting-truncation guard against quadratic blowup when a vocabulary-dense
+    corpus collides whole clusters into one band bucket.  Raise rows-per-band
+    (k/bands) rather than max_bucket to reduce collisions without recall loss.
     """
     rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, n)
@@ -78,6 +84,13 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(F.array(*band_keys)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    ok = (
+        buckets.groupBy("band", "key")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket)
+        .select("band", "key")
+    )
+    buckets = buckets.join(ok, ["band", "key"], "left_semi")
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "key"])
@@ -93,14 +106,12 @@ def _verify_jaccard(
 ) -> DataFrame:
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # intersection size: join both sides' shingle sets on the shingle value
+    # intersection size: both shingle-set joins are pure equi-joins — the
+    # shingle value is part of the second join key, so the hash join emits
+    # |A∩B| rows per pair instead of |A|×|B| rows filtered afterwards
     inter = (
         pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(
-            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh2")),
-            ["id_b"],
-        )
-        .filter(F.col("sh") == F.col("sh2"))
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

@@ -28,7 +28,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 10,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Returns ``(page_id, label)``; label = a community representative id."""
     sym = (
@@ -54,8 +54,11 @@ def label_propagation(
         )
         new_labels = picked
         if it % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
+            # eager lineage truncation each superstep (measured in PageRank:
+            # letting the plan grow dominates iteration cost)
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "page_id")

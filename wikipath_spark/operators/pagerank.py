@@ -67,7 +67,7 @@ def pagerank(
     max_iter: int = 100,
     impl: str = "sql",
     salt_partials: int = 0,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     on_superstep=None,
     checkpoint_mgr=None,
     checkpoint_interval: int = 10,
@@ -80,7 +80,21 @@ def pagerank(
     Returned ranks sum to 1 and include dangling vertices.
     """
     spark = edges.sparkSession
-    sc_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # Size shuffle parallelism to the data: an iterative driver loop pays the
+    # per-task scheduling cost every superstep, so tiny graphs must not fan
+    # out into `cores` near-empty tasks; big graphs keep the configured
+    # count.  (~500k edge rows per shuffle partition target.)
+    n_edges = edges.count()
+    sc_parts = max(2, min(conf_parts, n_edges // 500_000 + 1))
+
+    # AQE re-plans every job; for a fixed-shape superstep re-executed dozens
+    # of times that is pure per-iteration overhead — disable inside the loop.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(sc_parts))
 
     if vertices is None:
         vertices = (
@@ -105,10 +119,22 @@ def pagerank(
     )
     contrib_edges.count()  # materialize
 
-    dangling = vertices.join(edges.select("src").distinct(),
-                             vertices["page_id"] == F.col("src"), "left_anti").persist()
+    # dangling flag lives on the vertex frame so the per-superstep action can
+    # produce next iteration's dangling mass and the convergence delta in ONE
+    # aggregation (one Spark job per superstep, not three)
+    srcs = edges.select("src").distinct()
+    vflag = (
+        vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
+        .select("page_id", F.col("src").isNull().alias("is_dangling"))
+        .repartition(sc_parts, "page_id")
+        .persist()
+    )
+    vflag.count()
 
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n)).persist()
+    ranks = vflag.select("page_id", F.lit(1.0 / n).alias("rank")).persist()
+    dangling_mass = (
+        vflag.filter("is_dangling").count() * (1.0 / n)
+    )
     start_it = 0
     if checkpoint_mgr is not None and resume:
         latest = checkpoint_mgr.latest()
@@ -117,14 +143,18 @@ def pagerank(
             ranks.unpersist()
             ranks = loaded.select("page_id", "rank").persist()
             start_it = latest
+    if start_it > 0:
+        # resumed: recompute the dangling mass of the restored state (1 job)
+        dangling_mass = (
+            ranks.join(vflag.filter("is_dangling"), "page_id", "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
     base = (1.0 - damping) / n
     delta = float("inf")
     it = start_it
     for it in range(start_it + 1, max_iter + 1):
-        dangling_mass = (
-            ranks.join(dangling, "page_id", "left_semi").agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
         msgs = (
             contrib_edges.join(ranks, contrib_edges["src"] == ranks["page_id"])
             .select("dst", (F.col("rank") * F.col("w")).alias("contrib"))
@@ -148,37 +178,48 @@ def pagerank(
 
         const = base + damping * dangling_mass / n
         new_ranks = (
-            vertices.join(sums, vertices["page_id"] == sums["dst"], "left")
+            vflag.join(sums, vflag["page_id"] == sums["dst"], "left")
             .select(
                 "page_id",
                 (F.lit(const) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias("rank"),
+                "is_dangling",
             )
         )
         if it % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
-        new_ranks = new_ranks.persist()
+            # eager truncation: measured 2x faster than letting the logical
+            # plan grow even 5 iterations — Catalyst re-analyzes the whole
+            # lineage each superstep otherwise (see BENCH/BASELINE.md)
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
 
-        # L∞ convergence via join — no UDF (SURVEY.md §4.5)
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "page_id")
-            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-            .collect()[0]["d"]
+        # ONE action: L∞ delta (join, no UDF — SURVEY.md §4.5) + next dangling mass
+        row = (
+            new_ranks.alias("nw")
+            .join(ranks.alias("o").select("page_id", F.col("rank").alias("o_rank")), "page_id")
+            .agg(
+                F.max(F.abs(F.col("nw.rank") - F.col("o_rank"))).alias("d"),
+                F.sum(F.when(F.col("nw.is_dangling"), F.col("nw.rank")).otherwise(0.0)).alias("dm"),
+            )
+            .collect()[0]
         )
+        delta, dangling_mass = row["d"], row["dm"] or 0.0
         ranks.unpersist()
         ranks = new_ranks
         converged_now = delta < tol
         if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged_now):
-            checkpoint_mgr.save(it, ranks, float(delta))
+            checkpoint_mgr.save(it, ranks.select("page_id", "rank"), float(delta))
         if on_superstep is not None:
             on_superstep(it, ranks, delta)
         if converged_now:
             break
 
     contrib_edges.unpersist()
-    dangling.unpersist()
     vertices.unpersist()
-    return PageRankResult(ranks, it, float(delta), delta < tol)
+    vflag.unpersist()
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+    return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
 
 
 def pagerank_numpy_oracle(edge_list, n=None, damping=0.85, tol=1e-6, max_iter=100):
