@@ -26,25 +26,23 @@ import time
 
 WORKER = """
 import json, sys, time
+from pyspark.sql import functions as F
 from wikipath_spark.session import get_spark
-from wikipath_spark.sources.synthetic import synthetic_repos
-from wikipath_spark.plans.build import build_graph
+from wikipath_spark.sources.synthetic import synthetic_edges
 from wikipath_spark.operators.pagerank import pagerank
 
-cores = int(sys.argv[1])
-classes = int(sys.argv[2])
-repos = int(sys.argv[3])
+cores, n_vertices, n_edges_req, iters = (int(a) for a in sys.argv[1:5])
 spark = get_spark(app_name=f"wps-scale-{cores}", master=f"local[{cores}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores * 2)
 spark.sparkContext.setLogLevel("ERROR")
-g = build_graph(spark, synthetic_repos(spark, classes_per_repo=classes, repos=repos))
-g.edges = g.edges.persist()
-n_edges = g.edges.count()
+edges = synthetic_edges(spark, n_vertices, n_edges_req).persist()
+n_edges = edges.count()
+vertices = spark.range(0, n_vertices).select(F.col("id").alias("page_id"))
 t0 = time.time()
-res = pagerank(g.edges, vertices=g.pages.select("page_id"), tol=1e-6, max_iter=60)
+res = pagerank(edges, vertices=vertices, tol=1e-9, max_iter=iters)
 res.ranks.count()
 wall = time.time() - t0
-top = sorted((r.page_id, round(r.rank, 10)) for r in res.ranks.orderBy("page_id").limit(5).collect())
+top = sorted((r.page_id, round(r.rank, 12)) for r in res.ranks.orderBy("page_id").limit(5).collect())
 print("RESULT " + json.dumps({
     "cores": cores, "edges": n_edges, "iterations": res.iterations,
     "wall_sec": round(wall, 2),
@@ -55,9 +53,9 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_level(cores: int, classes: int, repos: int) -> dict:
+def run_level(cores: int, n_vertices: int, n_edges: int, iters: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(classes), str(repos)],
+        [sys.executable, "-c", WORKER, str(cores), str(n_vertices), str(n_edges), str(iters)],
         capture_output=True, text=True, timeout=3600, cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in out.stdout.splitlines():
@@ -67,10 +65,11 @@ def run_level(cores: int, classes: int, repos: int) -> dict:
 
 
 def main() -> None:
-    classes = int(os.environ.get("WPS_SCALE_CLASSES", "6000"))
-    repos = int(os.environ.get("WPS_SCALE_REPOS", "16"))
-    n = run_level(8, classes, repos)
-    n4 = run_level(32, classes, repos)
+    n_vertices = int(os.environ.get("WPS_SCALE_VERTICES", "2000000"))
+    n_edges = int(os.environ.get("WPS_SCALE_EDGES", "40000000"))
+    iters = int(os.environ.get("WPS_SCALE_ITERS", "12"))
+    n = run_level(8, n_vertices, n_edges, iters)
+    n4 = run_level(32, n_vertices, n_edges, iters)
     assert n["iterations"] == n4["iterations"], "determinism violation across parallelism"
     assert n["sample_ranks"] == n4["sample_ranks"], "rank mismatch across parallelism"
     eff = (n4["edges_per_sec"] / n["edges_per_sec"]) / 4
@@ -87,8 +86,10 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md"), "a") as f:
         f.write(
             f"\n## Scaling run {ts}\n\n"
-            f"Synthetic link graph: {n['edges']} edges, PageRank to 1e-6, "
-            f"{n['iterations']} supersteps (identical at both levels — determinism ✓).\n\n"
+            f"Deterministic synthetic edge table: {n['edges']} edges over "
+            f"{os.environ.get('WPS_SCALE_VERTICES', '2000000')} vertices (hub skew), "
+            f"{n['iterations']} PageRank supersteps (identical at both levels; "
+            f"sample ranks bit-identical — determinism ✓).\n\n"
             "| level | cores | wall (s) | supersteps/min | edges/sec |\n"
             "|---|---|---|---|---|\n"
             f"| N | 8 | {n['wall_sec']} | {n['supersteps_per_min']} | {n['edges_per_sec']} |\n"

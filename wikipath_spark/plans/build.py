@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -96,18 +96,27 @@ def build_graph(
         sha256_col(F.col("content")).alias("content_sha256"),
     )
 
-    pages = assign_dense_ids(
-        extracted.select(
-            "repo",
-            "path",
-            "lang",
-            "commit",
-            "content_sha256",
-            F.col("_x.alias").isNotNull().alias("is_alias"),
-            F.col("_x.refs").alias("_refs"),
-            F.col("_x.alias").alias("_alias"),
+    page_rows = extracted.select(
+        "repo",
+        "path",
+        "lang",
+        "commit",
+        "content_sha256",
+        F.col("_x.alias").isNotNull().alias("is_alias"),
+        F.col("_x.refs").alias("_refs"),
+        F.col("_x.alias").alias("_alias"),
+    )
+    # parse-stats counters piggyback on the first materialization — the
+    # analogue of the reference's per-file counter block (A6, parse.rs:500-534)
+    obs = Observation("parse_stats") if with_stats else None
+    if obs is not None:
+        page_rows = page_rows.observe(
+            obs,
+            F.count(F.lit(1)).alias("pages"),
+            F.sum(F.when(F.col("is_alias"), 1).otherwise(0)).alias("aliases"),
+            F.sum(F.size("_refs")).alias("raw_refs"),
         )
-    ).persist()
+    pages = assign_dense_ids(page_rows).persist()
 
     id_by_path = pages.select("repo", "path", "page_id")
 
@@ -143,10 +152,14 @@ def build_graph(
 
     stats: dict = {}
     if with_stats:
+        resolved = resolved.persist()
         stats = {
-            "pages": pages_out.count(),
-            "aliases": pages.filter("is_alias").count(),
+            "resolved_refs": resolved.count(),
             "redirects_compressed": redirects.count(),
             "edges": edges.count(),
         }
+        stats.update({k: int(v) for k, v in obs.get.items()})
+        # dangling references dropped by the inner resolution join (P4)
+        stats["dangling_dropped"] = stats["raw_refs"] - stats["resolved_refs"]
+        resolved.unpersist()
     return GraphTables(pages=pages_out, redirects=redirects, edges=edges, stats=stats)

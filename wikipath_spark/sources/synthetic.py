@@ -146,6 +146,41 @@ def synthetic_repos(
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=schema)
 
 
+def synthetic_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    hub_fraction_mod: int = 10,
+    n_hubs: int = 64,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic ``(src, dst)`` edge table at any scale.
+
+    Pure ``spark.range`` + column arithmetic (no Python, no RNG): edge i has
+    src = i mod V and a Knuth-hash spread dst; every ``hub_fraction_mod``-th
+    edge instead targets one of ``n_hubs`` hub vertices — the power-law skew
+    fixture at benchmark scale.  Self-loops are shifted away, duplicates are
+    possible (as in real link data) and left in; PageRank treats multi-edges
+    as weighted links, matching the dedup-before-use contract of the build
+    pipeline (callers wanting simple graphs apply ``dropDuplicates``).
+    """
+    from pyspark.sql import functions as FF
+
+    parts = partitions or max(8, n_edges // 2_000_000)
+    df = spark.range(0, n_edges, numPartitions=parts)
+    src = (FF.col("id") % n_vertices).alias("src")
+    spread = ((FF.col("id") * 2654435761) + (FF.col("id") / n_vertices).cast("long")) % n_vertices
+    hub = (FF.col("id") % n_hubs) * 7 % n_vertices
+    dst = FF.when(FF.col("id") % hub_fraction_mod == 0, hub).otherwise(spread)
+    out = df.select(src, dst.alias("dst"))
+    return out.select(
+        "src",
+        FF.when(FF.col("dst") == FF.col("src"), (FF.col("dst") + 1) % n_vertices)
+        .otherwise(FF.col("dst"))
+        .alias("dst"),
+    )
+
+
 def expected_alias_resolution(classes_per_repo: int) -> dict[int, int | None]:
     """Oracle for the compressed alias map at class level (per repo, per lang):
 
