@@ -1,0 +1,56 @@
+"""Physical-plan assertions: the optimizations SURVEY.md §4 claims Catalyst
+gives for free must actually appear in the plans — predicate pushdown to the
+parquet scan, broadcast joins for small dims, column pruning, and no
+whole-table Python round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from wikipath_spark.functions.text import ci_equal, fold_accents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString("formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entrymod.q_filtered_revenue(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    # both predicates pushed into the parquet scan
+    assert "l_discount" in plan.split("PushedFilters")[1][:300]
+    assert "l_quantity" in plan.split("PushedFilters")[1][:300]
+
+
+def test_small_dims_broadcast(spark):
+    df = entrymod.q_customer_nation_region(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_column_pruning(spark):
+    # text_stats touches only doc_id + text: the scan must not read lang/source
+    df = entrymod.q_text_stats(spark, SF)
+    plan = _plan(df)
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in scan and "doc_id" in scan
+    assert "n_chars" not in scan and "source" not in scan
+
+
+def test_whole_stage_codegen_on_agg(spark):
+    df = entrymod.q_pricing_summary(spark, SF)
+    assert "WholeStageCodegen" in _plan(df)
+
+
+def test_ci_equal(spark):
+    df = spark.createDataFrame(
+        [("Álvarez", "alvarez", True), ("École", "ecole", True), ("abc", "abd", False)],
+        "a string, b string, want boolean",
+    )
+    rows = df.select(ci_equal(F.col("a"), F.col("b")).alias("got"), "want").collect()
+    assert all(r.got == r.want for r in rows)
+    assert df.select(fold_accents(F.lit("ñandú")).alias("x")).collect()[0].x == "nandu"

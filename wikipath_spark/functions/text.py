@@ -25,6 +25,21 @@ LANG_MARKERS: dict[str, str] = {
 _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|was)\b"
 
 
+_ACCENTS = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿÁÀÂÄÃÅÇÉÈÊËÍÌÎÏÑÓÒÔÖÕÚÙÛÜÝ"
+_PLAIN = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def fold_accents(col: Column) -> Column:
+    """Strip common diacritics (translate-based)."""
+    return F.translate(col, _ACCENTS, _PLAIN)
+
+
+def ci_equal(a: Column, b: Column) -> Column:
+    """Case- and accent-insensitive string equality — the frontend's
+    title comparison (reference web/src/misc.ts:13-15)."""
+    return F.lower(fold_accents(a)) == F.lower(fold_accents(b))
+
+
 def h60(col: Column, seed: int = 0) -> Column:
     """Portable 60-bit hash: identical in Spark and DuckDB."""
     return F.conv(

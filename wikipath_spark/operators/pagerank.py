@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from wikipath_spark.operators.skew import salted_sum
@@ -95,6 +95,12 @@ def pagerank(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(sc_parts))
+    # The ranks frame often fits the broadcast threshold, but broadcasting it
+    # every superstep serializes through the driver and flattens scaling
+    # (measured: 8→32 cores gave only 1.2x). The superstep IS the explicit
+    # shuffle — force shuffle joins inside the loop.
+    bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     if vertices is None:
         vertices = (
@@ -131,7 +137,7 @@ def pagerank(
     )
     vflag.count()
 
-    ranks = vflag.select("page_id", F.lit(1.0 / n).alias("rank")).persist()
+    ranks = vflag.select("page_id", F.lit(1.0 / n).alias("rank"), "is_dangling").persist()
     dangling_mass = (
         vflag.filter("is_dangling").count() * (1.0 / n)
     )
@@ -141,7 +147,12 @@ def pagerank(
         if latest is not None:
             loaded, _metric = checkpoint_mgr.load(spark, latest)
             ranks.unpersist()
-            ranks = loaded.select("page_id", "rank").persist()
+            ranks = (
+                loaded.select("page_id", "rank")
+                .join(vflag, "page_id")
+                .select("page_id", "rank", "is_dangling")
+                .persist()
+            )
             start_it = latest
     if start_it > 0:
         # resumed: recompute the dangling mass of the restored state (1 job)
@@ -177,13 +188,25 @@ def pagerank(
             sums = msgs.groupBy("dst").agg(F.sum("contrib").alias("msum"))
 
         const = base + damping * dangling_mass / n
+        # state = (page_id, rank, is_dangling); convergence delta and next
+        # dangling mass ride on df.observe over the SAME materializing pass —
+        # no separate old-vs-new join (SURVEY.md §4.5: no UDF, join-free here
+        # because the old rank is already a column of the state being updated)
+        obs = Observation(f"pr_{it}")
         new_ranks = (
-            vflag.join(sums, vflag["page_id"] == sums["dst"], "left")
+            ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
             .select(
                 "page_id",
                 (F.lit(const) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias("rank"),
                 "is_dangling",
+                F.col("rank").alias("_old"),
             )
+            .observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("d"),
+                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+            )
+            .drop("_old")
         )
         if it % checkpoint_every == 0:
             # eager truncation: measured 2x faster than letting the logical
@@ -192,18 +215,9 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
         else:
             new_ranks = new_ranks.persist()
-
-        # ONE action: L∞ delta (join, no UDF — SURVEY.md §4.5) + next dangling mass
-        row = (
-            new_ranks.alias("nw")
-            .join(ranks.alias("o").select("page_id", F.col("rank").alias("o_rank")), "page_id")
-            .agg(
-                F.max(F.abs(F.col("nw.rank") - F.col("o_rank"))).alias("d"),
-                F.sum(F.when(F.col("nw.is_dangling"), F.col("nw.rank")).otherwise(0.0)).alias("dm"),
-            )
-            .collect()[0]
-        )
-        delta, dangling_mass = row["d"], row["dm"] or 0.0
+            new_ranks.count()
+        metrics = obs.get
+        delta, dangling_mass = metrics["d"], metrics["dm"] or 0.0
         ranks.unpersist()
         ranks = new_ranks
         converged_now = delta < tol
@@ -219,6 +233,7 @@ def pagerank(
     vflag.unpersist()
     spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     spark.conf.set("spark.sql.shuffle.partitions", parts_before)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
     return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
 
 
