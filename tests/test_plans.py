@@ -15,7 +15,13 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -41,9 +47,13 @@ def test_column_pruning(spark):
     assert "n_chars" not in scan and "source" not in scan
 
 
-def test_whole_stage_codegen_on_agg(spark):
+def test_map_side_partial_aggregation(spark):
+    # partial_sum before the exchange = map-side combine: shuffle carries
+    # one row per (partition, group), not per input row
     df = entrymod.q_pricing_summary(spark, SF)
-    assert "WholeStageCodegen" in _plan(df)
+    plan = _plan(df)
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("Exchange") or "Exchange" in plan.split("partial_sum")[1]
 
 
 def test_ci_equal(spark):
