@@ -1,0 +1,54 @@
+"""End-to-end service API tests: build → catalog → query by path strings,
+mirroring the reference's serve endpoints (serve.rs:194-209)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikipath_spark.api import LinkGraphService
+from wikipath_spark.plans.build import build_graph
+from wikipath_spark.plans.catalog import DatasetCatalog
+from wikipath_spark.sources.synthetic import synthetic_repos
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse"))
+    g = build_graph(spark, synthetic_repos(spark, classes_per_repo=100, repos=1))
+    commit = g.pages.select("commit").first().commit
+    cat = DatasetCatalog(spark, root)
+    cat.save("repo00", commit, g)
+    return LinkGraphService(cat), commit
+
+
+def test_list_datasets(service):
+    svc, commit = service
+    assert svc.list_datasets() == [
+        {"repo": "repo00", "commit": commit, "name": f"wp-repo00-{commit}"}
+    ]
+
+
+def test_shortest_paths_by_title(service):
+    svc, commit = service
+    # every plain file references its language hub (class 0): mod3 (q=1,py)
+    # → mod0 (q=0,py) is a direct link
+    out = svc.shortest_paths("repo00", commit, "src/pkg1/mod3.py", "src/pkg0/mod0.py")
+    assert out["length"] == 1 and out["count"] == 1
+    assert out["paths"] == [["src/pkg1/mod3.py", "src/pkg0/mod0.py"]]
+    assert out["repo"] == "repo00" and out["commit"] == commit
+
+
+def test_shortest_paths_through_alias(service):
+    svc, commit = service
+    # q=90 is an alias chain head (90→91→92→95): querying the alias path
+    # resolves to the terminal (source_is_redirect semantics, search.rs:27-32)
+    alias_path = "src/pkg10/mod270.py"    # q=90, r=0
+    out = svc.shortest_paths("repo00", commit, alias_path, alias_path)
+    assert out["source_is_redirect"] and out["target_is_redirect"]
+    assert out["length"] == 0 and out["count"] == 1
+    assert out["source"] == "src/pkg15/mod285.py"  # q=95 terminal
+
+def test_unknown_title(service):
+    svc, commit = service
+    out = svc.shortest_paths("repo00", commit, "nope.py", "src/pkg0/mod0.py")
+    assert out["count"] == 0 and out["paths"] == []

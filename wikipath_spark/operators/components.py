@@ -18,7 +18,7 @@ min-aggregate (algebraic, map-side combinable) so no salting is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -76,19 +76,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # convergence check = (row count, order-insensitive hash sum) fingerprint
+    # riding on the materializing pass — one action per round instead of the
+    # two full sorts an exceptAll comparison costs
+    prev_sig: tuple[int, int] | None = None
     for i in range(max_iter):
         ls = _large_star(e)
         # large-star output is asymmetric (child→parent); symmetrize for the
         # next neighborhood computation
         sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         ss = _small_star(sym)
-        new_e = ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        obs = Observation(f"cc_{i}")
+        new_e = (
+            ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 40))).alias("h"),
+            )
+        )
         new_e = new_e.localCheckpoint(eager=True)
-        # converged when the edge set reaches its fixed point (star forest)
-        if new_e.count() == e.count() and new_e.exceptAll(e).limit(1).count() == 0:
-            e = new_e
-            break
+        sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
         e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
     # star forest: component(u) = min neighbor (parent); parents map to themselves
     parent = e.groupBy("u").agg(F.min("v").alias("p"))
     comp = parent.select(
