@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The reference has no streaming at all; this is the training-data-pipeline
+stateful operator the round brief calls for, built on
+``applyInPandasWithState`` (Arrow-batched per-group state, the sanctioned
+custom-stateful path in Structured Streaming).
+
+Semantics: events grouped by ``user_id``; a session closes when no event
+arrives within ``gap`` processing-time; on timeout the operator emits one row
+``(user_id, session_start, session_end, n_events, sum_value)`` and clears
+state.  State per key is four scalars — bounded regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_STATE_SCHEMA = "start long, end long, n long, s double"
+
+
+def _make_sessionizer(gap_ms: int):
+    def _sessionize(key, pdfs, state):
+        return _sessionize_impl(key, pdfs, state, gap_ms)
+
+    return _sessionize
+
+
+def _sessionize_impl(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_ms: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n, s = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+                "sum_value": [s],
+            }
+        )
+        return
+
+    start = end = None
+    n, s = 0, 0.0
+    if state.exists:
+        start, end, n, s = state.get
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        start = lo if start is None else min(start, lo)
+        end = hi if end is None else max(end, hi)
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    if start is not None:
+        state.update((start, end, n, s))
+        state.setTimeoutDuration(gap_ms)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="datetime64[us]"),
+            "session_end": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64"),
+            "sum_value": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap_ms: int = 30_000) -> DataFrame:
+    """Apply the stateful sessionizer to a streaming events DataFrame with
+    columns (user_id, ts, value).  ``gap_ms`` is the processing-time
+    inactivity gap that closes a session."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _make_sessionizer(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
