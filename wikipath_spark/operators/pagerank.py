@@ -66,7 +66,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     impl: str = "sql",
-    salt_partials: int = 0,
+    salt_partials: int | None = 0,
     checkpoint_every: int = 1,
     on_superstep=None,
     checkpoint_mgr=None,
@@ -113,6 +113,13 @@ def pagerank(
     if n == 0:
         empty = vertices.withColumn("rank", F.lit(0.0))
         return PageRankResult(empty, 0, 0.0, True)
+
+    if salt_partials is None:
+        # auto: salt so no hub's in-neighborhood exceeds one task's budget
+        # (SURVEY.md §4.2 — chosen from the degree distribution, computed once)
+        from wikipath_spark.operators.skew import pick_salt
+
+        salt_partials = pick_salt(edges, key="dst", rows_per_task=5_000_000)
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # contribution edges: weight = 1/out_deg, partitioned once by src and
