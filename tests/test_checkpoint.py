@@ -52,6 +52,36 @@ def test_resume_identical_to_uninterrupted(spark, edges_df, tmp_path):
         assert got[k] == pytest.approx(want[k], abs=1e-12)
 
 
+def test_cc_and_lpa_checkpoint_resume(spark, edges_df, tmp_path):
+    from wikipath_spark.operators.components import connected_components
+    from wikipath_spark.operators.labelprop import label_propagation
+
+    el = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)]
+    df = edges_df(el)
+
+    full_cc = {r.page_id: r.component for r in connected_components(df).collect()}
+    mgr = CheckpointManager(str(tmp_path), "cc")
+    connected_components(df, checkpoint_mgr=mgr, checkpoint_interval=2)
+    assert mgr.latest() is not None
+    resumed = {
+        r.page_id: r.component
+        for r in connected_components(df, checkpoint_mgr=mgr, resume=True).collect()
+    }
+    assert resumed == full_cc
+
+    full_lpa = {r.page_id: r.label for r in label_propagation(df, max_iter=6).collect()}
+    mgr2 = CheckpointManager(str(tmp_path), "lpa")
+    label_propagation(df, max_iter=6, checkpoint_mgr=mgr2, checkpoint_interval=2)
+    assert mgr2.latest() is not None
+    resumed2 = {
+        r.page_id: r.label
+        for r in label_propagation(
+            df, max_iter=6, checkpoint_mgr=mgr2, resume=True
+        ).collect()
+    }
+    assert resumed2 == full_lpa
+
+
 def test_corrupt_checkpoint_detected(spark, edges_df, tmp_path):
     mgr = CheckpointManager(str(tmp_path), "run3")
     pagerank(edges_df(EDGES), checkpoint_mgr=mgr, checkpoint_interval=5)

@@ -43,6 +43,52 @@ def test_compress_long_chain(spark):
     assert got == {i: 63 for i in range(63)}
 
 
+def _compress_oracle(m: dict[int, int]) -> dict[int, int]:
+    """Pure-python oracle of the reference's memoized walk with per-walk
+    cycle detection (parse.rs:541-608): chains flatten to their terminal;
+    any chain that is part of or leads into a cycle is removed entirely."""
+    memo: dict[int, int | None] = {}
+
+    def resolve(x: int, stack: set[int]) -> int | None:
+        if x in memo:
+            return memo[x]
+        if x not in m:
+            return x  # terminal: not itself a redirect
+        if x in stack:
+            return None  # cycle
+        stack.add(x)
+        r = resolve(m[x], stack)
+        stack.discard(x)
+        memo[x] = r
+        return r
+
+    out = {}
+    for s in m:
+        t = resolve(s, set())
+        if t is not None:
+            out[s] = t
+    return out
+
+
+def test_oracle_agrees_with_reference_fixtures():
+    for name, inp, expected in FIXTURES:
+        assert _compress_oracle(inp) == expected, name
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_compress_random_vs_oracle(spark, seed):
+    """Random functional graphs (chains, trees, cycles, ρ-shapes) must match
+    the reference-semantics oracle exactly."""
+    import random
+
+    rng = random.Random(seed)
+    n = rng.randrange(5, 60)
+    m = {s: rng.randrange(0, 70) for s in rng.sample(range(70), n)}
+    df = spark.createDataFrame(list(m.items()), "src long, dst long")
+    got = {r.src: r.dst for r in compress_redirects(df).collect()}
+    assert got == _compress_oracle(m)
+
+
 def test_resolve_through_identity_fallback(spark):
     redirects = spark.createDataFrame([(1, 9)], "src long, dst long")
     df = spark.createDataFrame([(1, 2), (3, 1), (3, 4)], "src long, dst long")

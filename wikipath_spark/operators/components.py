@@ -61,6 +61,9 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_every: int = 2,
+    checkpoint_mgr=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """Undirected connected components over a directed edge table.
 
@@ -79,8 +82,15 @@ def connected_components(
     # convergence check = (row count, order-insensitive hash sum) fingerprint
     # riding on the materializing pass — one action per round instead of the
     # two full sorts an exceptAll comparison costs
+    start_round = 0
+    if checkpoint_mgr is not None and resume:
+        latest = checkpoint_mgr.latest()
+        if latest is not None:
+            loaded, _ = checkpoint_mgr.load(edges.sparkSession, latest)
+            e = loaded.select("u", "v").localCheckpoint(eager=True)
+            start_round = latest
     prev_sig: tuple[int, int] | None = None
-    for i in range(max_iter):
+    for i in range(start_round, max_iter):
         ls = _large_star(e)
         # large-star output is asymmetric (child→parent); symmetrize for the
         # next neighborhood computation
@@ -99,7 +109,10 @@ def connected_components(
         new_e = new_e.localCheckpoint(eager=True)
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
         e = new_e
-        if sig == prev_sig:
+        converged = sig == prev_sig
+        if checkpoint_mgr is not None and ((i + 1) % checkpoint_interval == 0 or converged):
+            checkpoint_mgr.save(i + 1, e, float(sig[0]))
+        if converged:
             break
         prev_sig = sig
     # star forest: component(u) = min neighbor (parent); parents map to themselves

@@ -29,6 +29,9 @@ def label_propagation(
     dst: str = "dst",
     max_iter: int = 10,
     checkpoint_every: int = 1,
+    checkpoint_mgr=None,
+    checkpoint_interval: int = 3,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns ``(page_id, label)``; label = a community representative id."""
     sym = (
@@ -41,8 +44,16 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("page_id")).distinct().withColumn(
         "label", F.col("page_id")
     ).persist()
+    start_it = 0
+    if checkpoint_mgr is not None and resume:
+        latest = checkpoint_mgr.latest()
+        if latest is not None:
+            loaded, _ = checkpoint_mgr.load(edges.sparkSession, latest)
+            labels.unpersist()
+            labels = loaded.select("page_id", "label").persist()
+            start_it = latest
 
-    for it in range(1, max_iter + 1):
+    for it in range(start_it + 1, max_iter + 1):
         msgs = sym.join(labels, sym["v"] == labels["page_id"]).select(
             sym["u"].alias("id"), "label"
         )
@@ -68,6 +79,8 @@ def label_propagation(
         )
         labels.unpersist()
         labels = new_labels
+        if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or changed == 0):
+            checkpoint_mgr.save(it, labels, float(changed))
         if changed == 0:
             break
     sym.unpersist()
