@@ -292,9 +292,18 @@ def q_media_features(spark, sf):
 # (rows-only: iterative, not single-statement SQL)
 
 
+_GRAPH_CACHE: dict = {}
+
+
 def _synthetic_graph(spark):
-    repos = synthetic_repos(spark, classes_per_repo=100, repos=2)
-    return build_graph(spark, repos)
+    key = id(spark)
+    if key not in _GRAPH_CACHE:
+        repos = synthetic_repos(spark, classes_per_repo=100, repos=2)
+        g = build_graph(spark, repos)
+        g.edges = g.edges.persist()
+        g.pages = g.pages.persist()
+        _GRAPH_CACHE[key] = g
+    return _GRAPH_CACHE[key]
 
 
 def q_graph_pagerank(spark, sf):
