@@ -45,34 +45,39 @@ def assign_dense_ids(
     partition_col: str = "repo",
     order_cols: tuple[str, ...] = ("path",),
     id_col: str = "page_id",
+    shards: int = 16,
 ) -> DataFrame:
-    """Deterministic dense 0..N-1 ids.
+    """Deterministic dense 0..N-1 ids without a global window.
 
-    Two-level scheme that avoids a single global window: a per-partition-key
-    ``row_number`` (parallel across keys) plus driver-computed base offsets
-    (one tiny aggregate).  PageId is u32 in the reference (database.rs:11);
-    we use LongType throughout (Spark has no unsigned 32-bit).
-
-    At 10^12 rows the partition key must be finer than ``repo`` for mega
-    repos — callers can pass e.g. a (repo, path-prefix) derived column; the
-    offsets aggregate stays tiny relative to the data.
+    Two-level scheme: rows are sharded by (partition_col, hash-bucket of the
+    order columns) so even a single mega repo fans out across ``shards``
+    window tasks; per-shard ``row_number`` plus driver-computed base offsets
+    (one tiny aggregate — #repos × shards rows) make ids globally dense.
+    Ids are deterministic (hash shard + in-shard ordering are both
+    data-derived) but not path-ordered across shards — density is the
+    requirement (CSR kernels, the BTreeMap-density analogue database.rs:252),
+    not order; the reference's dump-assigned PageIds are unordered too.
+    PageId is u32 in the reference (database.rs:11); we use LongType
+    (Spark has no unsigned 32-bit).
     """
-    counts = df.groupBy(partition_col).count().orderBy(partition_col).collect()
-    offsets, base = {}, 0
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(shards))
+    df = df.withColumn("_shard", shard)
+    counts = (
+        df.groupBy(partition_col, "_shard").count().orderBy(partition_col, "_shard").collect()
+    )
+    offsets, base = [], 0
     for row in counts:
-        offsets[row[partition_col]] = base
+        offsets.append((row[partition_col], row["_shard"], base))
         base += row["count"]
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, v) for k, v in offsets.items()], f"{partition_col} string, _base long"
-        )
+        spark.createDataFrame(offsets, f"{partition_col} string, _shard long, _base long")
     )
-    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    w = Window.partitionBy(partition_col, "_shard").orderBy(*order_cols)
     return (
-        df.join(off_df, partition_col)
+        df.join(off_df, [partition_col, "_shard"])
         .withColumn(id_col, F.row_number().over(w) + F.col("_base") - 1)
-        .drop("_base")
+        .drop("_base", "_shard")
     )
 
 
