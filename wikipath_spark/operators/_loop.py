@@ -1,0 +1,39 @@
+"""Shared iterative-driver-loop configuration.
+
+Measured on PageRank (see BENCH/BASELINE.md): for a fixed-shape superstep
+re-executed dozens of times, AQE re-planning is pure per-iteration overhead,
+driver-serialized broadcasts of the evolving state flatten core scaling, and
+shuffle parallelism should track data volume rather than cores.  Every
+iterative operator (PageRank, CC, LPA, BFS, compression) runs its loop under
+this context.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+
+@contextmanager
+def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition: int = 500_000):
+    """Disable AQE + auto-broadcast and (optionally) right-size shuffle
+    partitions for the loop body; restores prior values on exit."""
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        if rows is not None:
+            conf_parts = int(saved["spark.sql.shuffle.partitions"])
+            parts = max(2, min(conf_parts, rows // rows_per_partition + 1))
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

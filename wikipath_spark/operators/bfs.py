@@ -252,6 +252,7 @@ def bfs_distances(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     visited = spark.createDataFrame([(source, 0)], "page_id long, distance int")
     frontier = visited.select(F.col("page_id").alias("id"))
+    # AQE stays on: frontier size varies wildly level to level
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])

@@ -90,10 +90,13 @@ def connected_components(
             e = loaded.select("u", "v").localCheckpoint(eager=True)
             start_round = latest
     prev_sig: tuple[int, int] | None = None
+    # NB: unlike PageRank's fixed-shape superstep, CC's edge set SHRINKS each
+    # round — AQE's runtime coalescing is a measured win here (17s vs 48s at
+    # sf0.1 with it disabled), so the loop runs under normal session confs.
     for i in range(start_round, max_iter):
         ls = _large_star(e)
-        # large-star output is asymmetric (child→parent); symmetrize for the
-        # next neighborhood computation
+        # large-star output is asymmetric (child→parent); symmetrize for
+        # the next neighborhood computation
         sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
         ss = _small_star(sym)
         obs = Observation(f"cc_{i}")

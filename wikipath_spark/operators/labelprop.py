@@ -53,6 +53,8 @@ def label_propagation(
             labels = loaded.select("page_id", "label").persist()
             start_it = latest
 
+    # AQE left on: like CC (and unlike PageRank's fixed-shape superstep),
+    # message volume varies round to round as labels converge
     for it in range(start_it + 1, max_iter + 1):
         msgs = sym.join(labels, sym["v"] == labels["page_id"]).select(
             sym["u"].alias("id"), "label"
@@ -65,8 +67,8 @@ def label_propagation(
         )
         new_labels = picked
         if it % checkpoint_every == 0:
-            # eager lineage truncation each superstep (measured in PageRank:
-            # letting the plan grow dominates iteration cost)
+            # eager lineage truncation each superstep (measured in
+            # PageRank: letting the plan grow dominates iteration cost)
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
