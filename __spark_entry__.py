@@ -38,10 +38,15 @@ from wikipath_spark.operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_pairs,
 )
 from wikipath_spark.operators.labelprop import label_propagation
 from wikipath_spark.operators.pagerank import pagerank
-from wikipath_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs
+from wikipath_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
 from wikipath_spark.operators.triangles import triangle_count, triangles_per_vertex
 from wikipath_spark.plans.build import build_graph
 from wikipath_spark.sources.synthetic import synthetic_repos
@@ -275,8 +280,31 @@ def q_cosine_topk(spark, sf):
     return cosine_topk(emb, queries_df, k=3)
 
 
-def q_embedding_near_dup(spark, sf):  # rows-only: LSH bucket pruning
-    return embedding_near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.9, planes=4)
+def q_cosine_topk_lsh(spark, sf):  # hyperplane-LSH ANN: bucket join + exact re-rank
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk_lsh(emb, queries_df, k=3, planes=4)
+
+
+def q_embedding_near_dup(spark, sf):
+    """Near-duplicate embedding pairs via hyperplane LSH.  The driver's
+    embeddings are near-orthogonal random vectors (max natural cosine ≈ 0.55),
+    so the corpus is augmented with deterministic planted near-duplicates —
+    each vector's exact 2× scaling under a shifted id (cosine 1.0, provably
+    same LSH bucket: every hyperplane sign scales by exactly 2) — making the
+    expected answer the full set of (id, id+10000) twin pairs."""
+    emb = _t(spark, sf, "embeddings")
+    twins = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.select("vec_id", "embedding").unionByName(twins), threshold=0.95, planes=4
+    )
+
+
+def q_simhash_pairs(spark, sf):  # banded SimHash near-dup: pigeonhole buckets + exact Hamming
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=8, bands=4)
 
 
 def q_events_windowed(spark, sf):
@@ -289,16 +317,31 @@ def q_media_features(spark, sf):
 
 
 # ------------------------------------------------- synthetic-graph queries
-# (rows-only: iterative, not single-statement SQL)
+#
+# The synthetic source table is pure index arithmetic (sources/synthetic.py),
+# so the post-build class-level edge structure is regenerable inside DuckDB
+# SQL (see _GRAPH_ORACLE_EDGES below) — that's what makes the graph queries
+# oracle-able.  Page ids themselves are xxhash-sharded (not portable), so
+# every oracled graph query is re-keyed to the stable vertex key
+#     vkey = repo_index * 300 + mod_index       (mod_index = q*3 + lang)
+# recovered from (repo, path).  Only pagerank (floating-point iteration) and
+# label propagation (iterative majority vote) stay rows-only.
 
 
 _GRAPH_CACHE: dict = {}
 
+_GRAPH_CLASSES = 100  # classes per repo (one alias-role group)
+_GRAPH_REPOS = 2
+
 
 def _synthetic_graph(spark):
-    key = id(spark)
+    # keyed by applicationId: stable for the session's lifetime, and a new
+    # session (new app id) never inherits frames bound to a stopped one the
+    # way id(spark) could after the old object is garbage-collected
+    key = spark.sparkContext.applicationId
     if key not in _GRAPH_CACHE:
-        repos = synthetic_repos(spark, classes_per_repo=100, repos=2)
+        _GRAPH_CACHE.clear()  # drop frames bound to any previous session
+        repos = synthetic_repos(spark, classes_per_repo=_GRAPH_CLASSES, repos=_GRAPH_REPOS)
         g = build_graph(spark, repos)
         g.edges = g.edges.persist()
         g.pages = g.pages.persist()
@@ -306,7 +349,21 @@ def _synthetic_graph(spark):
     return _GRAPH_CACHE[key]
 
 
-def q_graph_pagerank(spark, sf):
+def _vkey_col():
+    """Stable vertex key from (repo, path): repo_i * 300 + (q*3 + lang_idx).
+    Dense-id assignment is hash-sharded (deterministic but engine-local);
+    this key is derivable in any engine from the row itself."""
+    return (
+        F.regexp_extract("repo", r"repo(\d+)", 1).cast("long") * (3 * _GRAPH_CLASSES)
+        + F.regexp_extract("path", r"mod(\d+)\.", 1).cast("long")
+    )
+
+
+def _keyed_pages(g):
+    return g.pages.select("page_id", _vkey_col().alias("vkey"))
+
+
+def q_graph_pagerank(spark, sf):  # rows-only: floating-point power iteration
     g = _synthetic_graph(spark)
     res = pagerank(g.edges, vertices=g.pages.select("page_id"), max_iter=60)
     return res.ranks.select("page_id", F.round("rank", 8).alias("rank"))
@@ -314,25 +371,48 @@ def q_graph_pagerank(spark, sf):
 
 def q_graph_components(spark, sf):
     g = _synthetic_graph(spark)
-    return connected_components(g.edges)
+    comp = connected_components(g.edges)
+    keyed = _keyed_pages(g)
+    c = comp.join(keyed, "page_id").select("vkey", "component")
+    # component representative re-keyed too: min vkey within the component
+    rep = c.groupBy("component").agg(F.min("vkey").alias("crep"))
+    return c.join(rep, "component").select("vkey", F.col("crep").alias("component"))
 
 
-def q_graph_labels(spark, sf):
+def q_graph_labels(spark, sf):  # rows-only: iterative majority-vote labels
     g = _synthetic_graph(spark)
     return label_propagation(g.edges, max_iter=5)
 
 
 def q_graph_triangles(spark, sf):
     g = _synthetic_graph(spark)
-    return triangles_per_vertex(g.edges)
+    keyed = _keyed_pages(g)
+    return (
+        triangles_per_vertex(g.edges)
+        .join(keyed, "page_id")
+        .select("vkey", "triangles")
+    )
+
+
+_SP_SOURCE = "src/pkg1/mod3.py"      # q=1,  lang=py, repo00
+_SP_TARGET = "src/pkg12/mod132.py"   # q=44, lang=py, repo00 (dist 4, 7 paths)
+_SP_SOURCE_VKEY = 3     # 0*300 + 1*3 + 0
+_SP_TARGET_VKEY = 132   # 0*300 + 44*3 + 0
 
 
 def q_graph_shortest_path(spark, sf):
     g = _synthetic_graph(spark)
-    # fixed endpoints: two plain files in repo00 (hub class 0 ↔ far class)
-    res = shortest_paths(g.edges, 3, 250, redirects=g.redirects)
-    row = [(res.source, res.target, res.length, res.count)]
-    return spark.createDataFrame(row, "source long, target long, length int, count long")
+    ids = {
+        r.path: r.page_id
+        for r in g.pages.filter(
+            (F.col("repo") == "repo00") & F.col("path").isin(_SP_SOURCE, _SP_TARGET)
+        ).collect()
+    }
+    res = shortest_paths(g.edges, ids[_SP_SOURCE], ids[_SP_TARGET], redirects=g.redirects)
+    row = [(_SP_SOURCE, _SP_TARGET, res.length, res.count)]
+    return spark.createDataFrame(
+        row, "source_path string, target_path string, length int, count long"
+    )
 
 
 def q_graph_build_stats(spark, sf):
@@ -373,7 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
@@ -393,6 +475,99 @@ _H60 = "CAST('0x' || substr(md5(concat('{seed}:', {x})), 1, 15) AS BIGINT)"
 
 def _h60(expr: str, seed: int) -> str:
     return _H60.format(seed=seed, x=expr)
+
+
+def _lsh_bucket_sql(vec: str, planes: int) -> str:
+    """DuckDB twin of similarity.add_lsh_bucket: bit p of the bucket = 1 iff
+    <v, r_p> > 0 where r_p[d] = ±1 from the low bit of h60(f"{p}:{d}")."""
+    def plane(p: int) -> str:
+        return (
+            f"[CASE WHEN CAST('0x' || substr(md5(concat('{p}:', CAST(d AS VARCHAR))), 1, 15) "
+            f"AS BIGINT) % 2 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END "
+            f"FOR d IN range(0, len({vec}))]"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {plane(p)}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _minhash_lsh_oracle(k: int, bands: int, threshold: float, max_bucket: int) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs: k minhashes → ``bands`` band
+    keys (md5 of the comma-joined band rows — the exact Spark expression) →
+    buckets capped at ``max_bucket`` → candidate pairs → exact shingle-Jaccard
+    verify at ``threshold``."""
+    rows = k // bands
+    mins = ", ".join(f"min({_h60('sh', s)}) AS m{s}" for s in range(k))
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + ")) AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT DISTINCT d.doc_id AS id, u.sh
+            FROM documents d,
+                 UNNEST([substr(lower(d.text), g, 4) FOR g IN range(1, length(d.text) - 2)]) AS u(sh)
+        ),
+        sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+        buckets AS ({band_selects}),
+        ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= {max_bucket}),
+        bk AS (SELECT b.* FROM buckets b JOIN ok USING (band, key)),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b AND sa.sh = sb.sh
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b, round(i.i / (za.sz + zb.sz - i.i), 6) AS jaccard
+        FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+        WHERE round(i.i / (za.sz + zb.sz - i.i), 6) >= {threshold}
+    """
+
+
+def _graph_oracle_edges() -> str:
+    """DuckDB CTE prefix regenerating the synthetic graph's class-level edge
+    structure from first principles (sources/synthetic.py is pure index
+    arithmetic): for each plain class q, targets {0} ∪ {(q*7+13j+1) mod m};
+    alias chain classes 90/91/92 resolve to their terminal 95; self-links
+    drop.  The py re-export line also matches the py *ref* regex, so the
+    cycle/tail alias classes (96→97→98→96, 99→96) — which redirect
+    compression removes from the alias map — survive as ordinary edges in
+    lang 0 only.  Vertex key = repo_i*300 + (q*3 + lang)."""
+    m = _GRAPH_CLASSES  # one alias-role group (roles are q % 100)
+    return f"""
+qs AS (SELECT unnest(range(0, {m})) AS q),
+plain AS (SELECT q FROM qs WHERE (q % 100) NOT IN (89,90,91,92,96,97,98,99)),
+rawt AS (
+  SELECT q AS s, CAST(0 AS BIGINT) AS t FROM plain
+  UNION ALL
+  SELECT q, (q*7 + 13*j + 1) % {m}
+  FROM plain, UNNEST([jj FOR jj IN range(0, 3 + (q % 5))]) AS u(j)
+),
+resv AS (
+  SELECT DISTINCT s,
+         CASE WHEN (t % 100) IN (90,91,92) THEN t - (t % 100) + 95 ELSE t END AS d
+  FROM rawt
+),
+cbase AS (SELECT s, d FROM resv WHERE s <> d),
+pyextra AS (SELECT * FROM (VALUES (96,97),(97,98),(98,96),(99,96)) AS v(s, d)),
+langs AS (SELECT unnest(range(0, 3)) AS r),
+reposx AS (SELECT unnest(range(0, {_GRAPH_REPOS})) AS ri),
+cedges AS (
+  SELECT ri, r, s, d FROM cbase, langs, reposx
+  UNION ALL
+  SELECT ri, 0, s, d FROM pyextra, reposx
+),
+vedges AS (SELECT ri*{3 * m} + s*3 + r AS src, ri*{3 * m} + d*3 + r AS dst FROM cedges)
+"""
 
 
 _STOP = r"\b(the|a|an|and|or|of|to|in|is|was)\b"
@@ -564,9 +739,40 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, b, SUM(((h >> b) & 1) * 2 - 1) AS v
                 FROM hashed, generate_series(0, 59) t(b)
                 GROUP BY id, b
+            ), fp AS (
+                SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY id
             )
-            SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY id
+            -- left join: a doc with zero word tokens fingerprints to 0 (the
+            -- engine's array-aggregate path keeps the row; explode drops it)
+            SELECT d.doc_id AS id, coalesce(fp.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN fp ON fp.id = d.doc_id
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+                SELECT d.doc_id AS id, u.tok
+                FROM documents d, UNNEST(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS u(tok)
+            ), hashed AS (
+                SELECT id, {_h60('tok', 9)} AS h FROM toks
+            ), votes AS (
+                SELECT id, b, SUM(((h >> b) & 1) * 2 - 1) AS v
+                FROM hashed, generate_series(0, 59) t(b)
+                GROUP BY id, b
+            ), fp0 AS (
+                SELECT id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+                FROM votes GROUP BY id
+            ), fp AS (
+                SELECT d.doc_id AS id, coalesce(fp0.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN fp0 ON fp0.id = d.doc_id
+            ), bk AS (
+                SELECT id, simhash, b AS band, (simhash >> (b*15)) & 32767 AS key
+                FROM fp, generate_series(0, 3) t(b)
+            ), pairs AS (
+                SELECT DISTINCT a.id AS id_a, bx.id AS id_b,
+                       bit_count(xor(a.simhash, bx.simhash)) AS hamming
+                FROM bk a JOIN bk bx ON a.band = bx.band AND a.key = bx.key AND a.id < bx.id
+            )
+            SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 8
         """,
         "ngram_jaccard": """
             WITH sh AS (
@@ -622,5 +828,131 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha256,
                    CAST(('0x' || substr(sha256(text), 1, 15)) AS BIGINT) AS feature_hash
             FROM documents
+        """,
+        "triangles_copurchase": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ), sym AS (
+                SELECT u, v FROM e UNION SELECT v, u FROM e
+            ), tri AS (
+                -- every triangle exactly once as a < b < c (id-oriented
+                -- closure; participation counts are orientation-independent)
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u AND e2.u < e2.v
+                WHERE EXISTS (SELECT 1 FROM e WHERE e.u = e1.u AND e.v = e2.v)
+            ), pv AS (
+                SELECT x AS page_id, count(*) AS triangles FROM (
+                    SELECT a AS x FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY x
+            )
+            SELECT s.page_id, CAST(coalesce(pv.triangles, 0) AS BIGINT) AS triangles
+            FROM (SELECT DISTINCT u AS page_id FROM sym) s LEFT JOIN pv USING (page_id)
+        """,
+        "minhash_lsh_dedup": _minhash_lsh_oracle(k=16, bands=4, threshold=0.7, max_bucket=256),
+        "cosine_topk_lsh": f"""
+            WITH e AS (
+                SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), b AS (
+                SELECT id, v, {_lsh_bucket_sql('v', 4)} AS bucket FROM e
+            ), q AS (
+                SELECT id AS query_id, v AS va, bucket FROM b WHERE id % 25 = 0
+            ), scored AS (
+                SELECT q.query_id, c.id AS neighbor_id,
+                       round(list_dot_product(q.va, c.v)
+                             / (sqrt(list_dot_product(q.va, q.va))
+                                * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                FROM q JOIN b c USING (bucket) WHERE c.id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rn
+                FROM scored) WHERE rn <= 3
+        """,
+        "embedding_near_dup": f"""
+            WITH base AS (
+                SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+                UNION ALL
+                -- planted near-duplicates: exact 2x scalings (cosine 1.0,
+                -- same LSH bucket by construction) under shifted ids
+                SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+                FROM embeddings
+            ), b AS (
+                SELECT id, v, {_lsh_bucket_sql('v', 4)} AS bucket FROM base
+            ), scored AS (
+                SELECT a.id AS id_a, c.id AS id_b,
+                       round(list_dot_product(a.v, c.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+                FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+            )
+            SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+        """,
+        "graph_components": f"""
+            WITH RECURSIVE {_graph_oracle_edges()},
+            sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),
+            reach(a, b) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT r.a, s.v FROM reach r JOIN sym s ON s.u = r.b
+            )
+            SELECT a AS vkey, CAST(min(b) AS BIGINT) AS component FROM reach GROUP BY a
+        """,
+        "graph_triangles": f"""
+            WITH RECURSIVE {_graph_oracle_edges()},
+            e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM vedges),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u AND e2.u < e2.v
+                WHERE EXISTS (SELECT 1 FROM e WHERE e.u = e1.u AND e.v = e2.v)
+            ), pv AS (
+                SELECT x AS vkey, count(*) AS triangles FROM (
+                    SELECT a AS x FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY x
+            )
+            SELECT s.vkey, CAST(coalesce(pv.triangles, 0) AS BIGINT) AS triangles
+            FROM (SELECT DISTINCT u AS vkey FROM sym) s LEFT JOIN pv USING (vkey)
+        """,
+        "graph_shortest_path": f"""
+            WITH RECURSIVE {_graph_oracle_edges()},
+            dists(id, dd) AS (
+                SELECT CAST({_SP_SOURCE_VKEY} AS BIGINT), 0
+                UNION
+                SELECT v.dst, d.dd + 1 FROM dists d JOIN vedges v ON v.src = d.id
+                WHERE d.dd < 12
+            ),
+            dist AS (SELECT id, min(dd) AS d FROM dists GROUP BY id),
+            dag AS (
+                SELECT v.src, v.dst FROM vedges v
+                JOIN dist a ON a.id = v.src JOIN dist bb ON bb.id = v.dst
+                WHERE bb.d = a.d + 1
+            ),
+            walks(id, dd) AS (
+                -- shortest paths enumerate 1:1 as walks along strictly
+                -- distance-increasing (DAG) edges; count(rows at target) =
+                -- number of distinct shortest paths
+                SELECT CAST({_SP_SOURCE_VKEY} AS BIGINT), 0
+                UNION ALL
+                SELECT g.dst, w.dd + 1 FROM walks w JOIN dag g ON g.src = w.id
+                WHERE w.dd < (SELECT d FROM dist WHERE id = {_SP_TARGET_VKEY})
+            )
+            SELECT '{_SP_SOURCE}' AS source_path, '{_SP_TARGET}' AS target_path,
+                   CAST((SELECT d FROM dist WHERE id = {_SP_TARGET_VKEY}) AS INT) AS length,
+                   CAST((SELECT count(*) FROM walks WHERE id = {_SP_TARGET_VKEY}) AS BIGINT) AS count
+        """,
+        "graph_build_stats": f"""
+            WITH RECURSIVE {_graph_oracle_edges()}
+            SELECT concat('repo', lpad(CAST(ri AS VARCHAR), 2, '0')) AS repo,
+                   CAST({3 * _GRAPH_CLASSES} AS BIGINT) AS n_pages,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM cedges GROUP BY ri
         """,
     }

@@ -52,3 +52,12 @@ def test_unknown_title(service):
     svc, commit = service
     out = svc.shortest_paths("repo00", commit, "nope.py", "src/pkg0/mod0.py")
     assert out["count"] == 0 and out["paths"] == []
+
+
+def test_case_insensitive_title_lookup(service):
+    """Path lookup folds case and accents like the reference frontend's title
+    comparison (web/src/misc.ts:13-15): a case-mangled query still resolves."""
+    svc, commit = service
+    out = svc.shortest_paths("repo00", commit, "SRC/Pkg1/MOD3.PY", "src/pkg0/mod0.py")
+    assert out["length"] == 1 and out["count"] == 1
+    assert out["paths"] == [["src/pkg1/mod3.py", "src/pkg0/mod0.py"]]

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import functions as F
 
+from wikipath_spark.functions.text import ci_equal
 from wikipath_spark.operators.bfs import enumerate_paths, shortest_paths
 from wikipath_spark.plans.catalog import DatasetCatalog
 
@@ -38,8 +39,19 @@ class LinkGraphService:
         ]
 
     def _page_id(self, tables, path: str) -> int | None:
-        row = tables.pages.filter(F.col("path") == path).select("page_id").collect()
-        return row[0].page_id if row else None
+        """Path → page id, case/accent-insensitively (the reference frontend
+        compares titles after lowercasing + accent folding, web/src/misc.ts:
+        13-15).  An exact-case match wins over a folded match; folded ties
+        break on minimum page_id — deterministic either way."""
+        rows = (
+            tables.pages.filter(ci_equal(F.col("path"), F.lit(path)))
+            .select("page_id", "path")
+            .collect()
+        )
+        if not rows:
+            return None
+        exact = [r.page_id for r in rows if r.path == path]
+        return exact[0] if exact else min(r.page_id for r in rows)
 
     def shortest_paths(
         self,

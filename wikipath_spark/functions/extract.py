@@ -41,16 +41,29 @@ _LANG_RULES: dict[str, tuple[str, str, bool, str | None]] = {
     "ts": (r'(?m)^import .+ from "\./([^"]+)";', r'(?m)^export \* from "\./([^"]+)";$', False, "ts"),
 }
 
-_STRUCT_SCHEMA = "refs array<string>, alias string"
+_STRUCT_SCHEMA = "refs array<string>, alias string, truncated boolean"
+
+# Per-row scan budget (chars): regex extraction runs over at most this prefix
+# of `content` — the analogue of the reference's per-extractor byte caps
+# (parse.rs:21,31,41,50), which bound worst-case scan cost per row.  Without
+# it a single pathological multi-GB cell stalls its whole Arrow batch (and
+# can OOM the Python worker holding the findall match list).
+DEFAULT_SCAN_BUDGET = 4_000_000
 
 
 def _dotted_to_path(s: pd.Series, ext: str) -> pd.Series:
     return s.str.replace(".", "/", regex=False) + f".{ext}"
 
 
-def _extract_batch(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
+def _extract_batch(
+    content: pd.Series, lang: pd.Series, budget: int = DEFAULT_SCAN_BUDGET
+) -> pd.DataFrame:
     refs = pd.Series([[] for _ in range(len(content))], index=content.index, dtype=object)
     alias = pd.Series([None] * len(content), index=content.index, dtype=object)
+    truncated = content.str.len() > budget
+    truncated = truncated.fillna(False).astype(bool)
+    if truncated.any():
+        content = content.where(~truncated, content.str.slice(0, budget))
     for lg, (ref_pat, alias_pat, dotted, ext) in _LANG_RULES.items():
         mask = lang == lg
         if not mask.any():
@@ -74,21 +87,28 @@ def _extract_batch(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
         elif ext:
             al = (al.dropna() + f".{ext}").reindex(al.index)
         alias[mask] = al
-    return pd.DataFrame({"refs": refs, "alias": alias})
+    return pd.DataFrame({"refs": refs, "alias": alias, "truncated": truncated})
 
 
-def extract_refs_udf(content: Column, lang: Column) -> Column:
-    """Arrow-batched extraction → ``struct<refs: array<string>, alias: string>``."""
-    udf = F.pandas_udf(_extract_batch, returnType=_STRUCT_SCHEMA)
+def extract_refs_udf(content: Column, lang: Column, budget: int = DEFAULT_SCAN_BUDGET) -> Column:
+    """Arrow-batched extraction →
+    ``struct<refs: array<string>, alias: string, truncated: boolean>``."""
+
+    def batch(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        return _extract_batch(content, lang, budget)
+
+    udf = F.pandas_udf(batch, returnType=_STRUCT_SCHEMA)
     return udf(content, lang)
 
 
-def extract_refs_sql(content: Column, lang: Column) -> Column:
+def extract_refs_sql(content: Column, lang: Column, budget: int = DEFAULT_SCAN_BUDGET) -> Column:
     """Same semantics, pure JVM (`regexp_extract_all`) — zero Python crossing.
 
     Used by benchmarks to quantify the Arrow exchange cost; results must be
     identical to :func:`extract_refs_udf` (tested).
     """
+    truncated = F.length(content) > budget
+    content = F.when(truncated, F.substring(content, 1, budget)).otherwise(content)
     branches_refs = None
     branches_alias = None
     for lg, (ref_pat, alias_pat, dotted, ext) in _LANG_RULES.items():
@@ -110,6 +130,7 @@ def extract_refs_sql(content: Column, lang: Column) -> Column:
     return F.struct(
         F.coalesce(branches_refs, F.array().cast("array<string>")).alias("refs"),
         branches_alias.alias("alias"),
+        F.coalesce(truncated, F.lit(False)).alias("truncated"),
     )
 
 

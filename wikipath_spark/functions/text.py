@@ -147,12 +147,14 @@ def simhash60(col: Column) -> Column:
     """
     toks = word_tokens(col)
     hashes = F.transform(toks, lambda t: h60(t, 9))
+
+    def _vote(b: int):
+        # closure (not a default arg): F.aggregate binds one lambda variable
+        # per *parameter*, so a `b=b` default would receive a Column
+        return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
+
     out = F.lit(0).cast("long")
     for b in range(60):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc + (F.shiftright(h, b) % 2) * 2 - 1,
-        )
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
         out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return out

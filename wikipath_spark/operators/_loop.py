@@ -18,7 +18,12 @@ from pyspark.sql import SparkSession
 @contextmanager
 def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition: int = 500_000):
     """Disable AQE + auto-broadcast and (optionally) right-size shuffle
-    partitions for the loop body; restores prior values on exit."""
+    partitions for the loop body; restores prior values on exit (try/finally —
+    an exception mid-loop must not leak de-optimized confs into the session).
+
+    Yields the shuffle partition count in effect inside the loop, so callers
+    can align explicit ``repartition`` calls with the aggregation parallelism.
+    """
     saved = {
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
         "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
@@ -29,11 +34,11 @@ def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        parts = int(saved["spark.sql.shuffle.partitions"])
         if rows is not None:
-            conf_parts = int(saved["spark.sql.shuffle.partitions"])
-            parts = max(2, min(conf_parts, rows // rows_per_partition + 1))
+            parts = max(2, min(parts, rows // rows_per_partition + 1))
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        yield
+        yield parts
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

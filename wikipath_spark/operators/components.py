@@ -18,6 +18,8 @@ min-aggregate (algebraic, map-side combinable) so no salting is needed.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -90,6 +92,7 @@ def connected_components(
             e = loaded.select("u", "v").localCheckpoint(eager=True)
             start_round = latest
     prev_sig: tuple[int, int] | None = None
+    converged = False
     # NB: unlike PageRank's fixed-shape superstep, CC's edge set SHRINKS each
     # round — AQE's runtime coalescing is a measured win here (17s vs 48s at
     # sf0.1 with it disabled), so the loop runs under normal session confs.
@@ -110,6 +113,9 @@ def connected_components(
             )
         )
         new_e = new_e.localCheckpoint(eager=True)
+        # fingerprint equality is probabilistic (40-bit hash-sum + count);
+        # collision odds are astronomically small and the cost of a stale
+        # match is one extra idempotent round, not a wrong answer
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
         e = new_e
         converged = sig == prev_sig
@@ -118,6 +124,15 @@ def connected_components(
         if converged:
             break
         prev_sig = sig
+    if not converged:
+        # the alternating algorithm converges in O(log² n) rounds — exhausting
+        # max_iter means the star forest is NOT a fixpoint and the extraction
+        # below may split true components; never return that silently
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "components may be over-split (raise max_iter)",
+            stacklevel=2,
+        )
     # star forest: component(u) = min neighbor (parent); parents map to themselves
     parent = e.groupBy("u").agg(F.min("v").alias("p"))
     comp = parent.select(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wikipath_spark.functions.text import char_ngrams, h60
+from wikipath_spark.functions.text import char_ngrams, h60, simhash60
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -73,7 +73,12 @@ def minhash_lsh_pairs(
     (k/bands) rather than max_bucket to reduce collisions without recall loss.
     """
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n)
+    # shingle sets are the shared input of BOTH signature derivation and the
+    # exact-Jaccard verify — compute once, persist, reuse (at sf0.1 this
+    # halved the query: the shingle explode is the dominant cost)
+    sh = shingles(df, id_col, text_col, n).persist()
+    aggs = [F.min(h60(F.col("sh"), seed)).alias(f"m{seed}") for seed in range(k)]
+    sig = sh.groupBy("id").agg(*aggs)
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
@@ -98,13 +103,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, df, id_col, text_col, n, jaccard_threshold)
+    return _verify_jaccard(cand, sh, jaccard_threshold)
 
 
-def _verify_jaccard(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
-) -> DataFrame:
-    sh = shingles(df, id_col, text_col, n)
+def _verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over a pre-computed ``(id, sh)`` shingle frame."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # intersection size: both shingle-set joins are pure equi-joins — the
     # shingle value is part of the second join key, so the hash join emits
@@ -143,7 +146,7 @@ def ngram_jaccard_pairs(
     full sets, so results below the threshold are never admitted; at 100 TB
     this bound is what keeps the index join from quadratic blowup.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()
     posting_ok = sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_posting)
     pruned = sh.join(posting_ok.select("sh"), "sh", "left_semi")
     cand = (
@@ -153,15 +156,33 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, df, id_col, text_col, n, threshold)
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) via explode + groupBy — the shuffle-based formulation
-    that scales (and mirrors cleanly to SQL): per (doc, bit) vote summation.
+    """(id, simhash) — 60-bit SimHash over word tokens.
+
+    Engine path: the shuffle-free array-aggregate formulation
+    (:func:`wikipath_spark.functions.text.simhash60`) — per-row integer bit
+    votes with JVM array builtins, zero extra rows.  The exploded twin below
+    (60 rows per token through the shuffle) is kept as the SQL-oracle mirror;
+    a unit test asserts both produce identical fingerprints (the votes are
+    exact integer sums, so order of aggregation cannot matter).
+    NB: docs with zero word tokens fingerprint to 0 here and are absent from
+    the exploded form (explode of an empty array emits nothing).
     """
+    return df.select(
+        F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_fingerprints_exploded(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) via explode + groupBy — per (doc, bit) vote summation.
+    The oracle-mirror formulation (60× row blowup; do not use at scale)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)).alias("tok"),

@@ -19,7 +19,9 @@ changing. Deterministic by construction either way.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -55,35 +57,54 @@ def label_propagation(
 
     # AQE left on: like CC (and unlike PageRank's fixed-shape superstep),
     # message volume varies round to round as labels converge
+    #
+    # Convergence check = (row count, order-insensitive hash sum) fingerprint
+    # riding on the materializing pass via df.observe — one action per round
+    # (the same trick as connected_components; replaces an old-vs-new join +
+    # count that cost an extra job per superstep).  Equality of a 40-bit
+    # hash-sum fingerprint is probabilistic but astronomically safe, and a
+    # stale fixpoint only costs one extra (idempotent) round.
+    prev_sig: tuple[int, int] | None = None
+    converged = False
     for it in range(start_it + 1, max_iter + 1):
         msgs = sym.join(labels, sym["v"] == labels["page_id"]).select(
             sym["u"].alias("id"), "label"
         )
         counted = msgs.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        obs = Observation(f"lpa_{it}")
         picked = (
             counted.groupBy("id")
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b"))
             .select(F.col("id").alias("page_id"), (-F.col("b.nl")).alias("label"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64("page_id", "label"), F.lit(1 << 40))).alias("h"),
+            )
         )
-        new_labels = picked
         if it % checkpoint_every == 0:
             # eager lineage truncation each superstep (measured in
             # PageRank: letting the plan grow dominates iteration cost)
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = picked.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "page_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+            new_labels = picked.persist()
+            new_labels.count()
+        sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
         labels.unpersist()
         labels = new_labels
-        if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or changed == 0):
-            checkpoint_mgr.save(it, labels, float(changed))
-        if changed == 0:
+        converged = sig == prev_sig
+        if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged):
+            checkpoint_mgr.save(it, labels, float(sig[0]))
+        if converged:
             break
+        prev_sig = sig
     sym.unpersist()
+    if not converged and max_iter > start_it:
+        # synchronous LPA can oscillate; the caller must know the labels are a
+        # max_iter snapshot, not a fixpoint (same contract as components)
+        warnings.warn(
+            f"label_propagation: no fixpoint after {max_iter} supersteps; "
+            "returning the last snapshot",
+            stacklevel=2,
+        )
     return labels

@@ -36,7 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from wikipath_spark.operators.skew import salted_sum
+from wikipath_spark.operators._loop import loop_confs
+from wikipath_spark.operators.skew import pick_salt, salted_sum
 
 
 @dataclass
@@ -66,7 +67,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     impl: str = "sql",
-    salt_partials: int | None = 0,
+    salt_partials: int | None = None,
     checkpoint_every: int = 1,
     on_superstep=None,
     checkpoint_mgr=None,
@@ -80,28 +81,27 @@ def pagerank(
     Returned ranks sum to 1 and include dangling vertices.
     """
     spark = edges.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Size shuffle parallelism to the data: an iterative driver loop pays the
-    # per-task scheduling cost every superstep, so tiny graphs must not fan
-    # out into `cores` near-empty tasks; big graphs keep the configured
-    # count.  (~500k edge rows per shuffle partition target.)
     n_edges = edges.count()
-    sc_parts = max(2, min(conf_parts, n_edges // 500_000 + 1))
+    # loop_confs: AQE off (fixed-shape superstep — re-planning is pure
+    # per-iteration overhead), auto-broadcast off (driver-serialized broadcast
+    # of the evolving ranks flattens core scaling — measured 8→32 gave only
+    # 1.2x), shuffle parallelism sized to data (~500k edge rows/partition, so
+    # tiny graphs don't fan out into near-empty tasks).  Context manager =
+    # try/finally: an exception mid-loop must not leak these confs.
+    with loop_confs(spark, rows=n_edges) as sc_parts:
+        return _pagerank_loop(
+            spark, edges, vertices, damping, tol, max_iter, impl, salt_partials,
+            checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
+            resume, n_edges, sc_parts,
+        )
 
-    # AQE re-plans every job; for a fixed-shape superstep re-executed dozens
-    # of times that is pure per-iteration overhead — disable inside the loop.
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(sc_parts))
-    # The ranks frame often fits the broadcast threshold, but broadcasting it
-    # every superstep serializes through the driver and flattens scaling
-    # (measured: 8→32 cores gave only 1.2x). The superstep IS the explicit
-    # shuffle — force shuffle joins inside the loop.
-    bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
+def _pagerank_loop(
+    spark, edges, vertices, damping, tol, max_iter, impl, salt_partials,
+    checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
+    resume, n_edges, sc_parts,
+) -> PageRankResult:
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("page_id"))
@@ -115,10 +115,8 @@ def pagerank(
         return PageRankResult(empty, 0, 0.0, True)
 
     if salt_partials is None:
-        # auto: salt so no hub's in-neighborhood exceeds one task's budget
-        # (SURVEY.md §4.2 — chosen from the degree distribution, computed once)
-        from wikipath_spark.operators.skew import pick_salt
-
+        # auto (the default): salt so no hub's in-neighborhood exceeds one
+        # task's budget (SURVEY.md §4.2 — from the degree distribution, once)
         salt_partials = pick_salt(edges, key="dst", rows_per_task=5_000_000)
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
@@ -173,10 +171,11 @@ def pagerank(
     delta = float("inf")
     it = start_it
     for it in range(start_it + 1, max_iter + 1):
-        msgs = (
-            contrib_edges.join(ranks, contrib_edges["src"] == ranks["page_id"])
-            .select("dst", (F.col("rank") * F.col("w")).alias("contrib"))
-        )
+        joined = contrib_edges.join(ranks, contrib_edges["src"] == ranks["page_id"])
+        # src rides along only when salting needs it (deterministic per-row
+        # salt source) — otherwise keep the shuffled message row minimal
+        msg_cols = (["src"] if salt_partials > 1 and impl != "csr" else []) + ["dst"]
+        msgs = joined.select(*msg_cols, (F.col("rank") * F.col("w")).alias("contrib"))
         if impl == "csr":
             # applyInPandas over hash buckets: Arrow-batched numpy scatter-add
             sums = (
@@ -190,7 +189,14 @@ def pagerank(
                 .agg(F.sum("partial").alias("msum"))
             )
         elif salt_partials > 1:
-            sums = salted_sum(msgs, key="dst", value="contrib", salt=salt_partials, out="msum")
+            # salt bucket from the message's src vertex: row-distinct within a
+            # hub's in-neighborhood (unlike the contrib value, which is equal
+            # across rows at uniform init) and deterministic across runs and
+            # parallelism levels — required for bit-identical ranks
+            sums = salted_sum(
+                msgs, key="dst", value="contrib", salt=salt_partials,
+                out="msum", salt_source="src",
+            )
         else:
             sums = msgs.groupBy("dst").agg(F.sum("contrib").alias("msum"))
 
@@ -238,9 +244,6 @@ def pagerank(
     contrib_edges.unpersist()
     vertices.unpersist()
     vflag.unpersist()
-    spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
-    spark.conf.set("spark.sql.shuffle.partitions", parts_before)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
     return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
 
 

@@ -28,9 +28,12 @@ def salted_sum(
 ) -> DataFrame:
     """Exact two-stage sum of ``value`` by ``key`` with salt-spread partials.
 
-    ``salt_source``: optional column whose hash picks the salt bucket
-    (deterministic); defaults to a round-robin on ``monotonically_increasing_id``
-    being unacceptable for determinism, we hash the full row's value column.
+    ``salt_source``: column whose hash picks the salt bucket.  Callers should
+    pass a row-distinct deterministic column (e.g. the message's src vertex in
+    PageRank): hashing the *value* (the fallback when no source is given)
+    degenerates when a hub's values are all equal — every row lands in one
+    bucket and no spreading happens.  ``spark_partition_id`` would spread but
+    varies across parallelism levels, breaking bit-identical floating sums.
     """
     seed_col = F.col(salt_source) if salt_source else F.col(value)
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key), seed_col), F.lit(salt)))

@@ -40,12 +40,15 @@ class GraphTables:
     stats: dict = field(default_factory=dict)
 
 
+_SHARD_TARGET_ROWS = 8_000_000  # max rows one dense-id window task should sort
+
+
 def assign_dense_ids(
     df: DataFrame,
     partition_col: str = "repo",
     order_cols: tuple[str, ...] = ("path",),
     id_col: str = "page_id",
-    shards: int = 16,
+    shards: int | None = None,
 ) -> DataFrame:
     """Deterministic dense 0..N-1 ids without a global window.
 
@@ -59,12 +62,36 @@ def assign_dense_ids(
     not order; the reference's dump-assigned PageIds are unordered too.
     PageId is u32 in the reference (database.rs:11); we use LongType
     (Spark has no unsigned 32-bit).
+
+    ``shards=None`` auto-scales: start at 16; if the first per-(partition,
+    shard) count scan finds any shard above ``_SHARD_TARGET_ROWS`` rows, the
+    shard count is re-derived from the observed maximum and the counts are
+    recomputed once.  Ids depend only on the data (the escalation decision is
+    a pure function of the counts), never on cluster parallelism — at
+    10^12-file scale a single mega-repo escalates to enough shards that no
+    window task sorts more than the target, at the cost of one extra pass.
     """
-    shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(shards))
-    df = df.withColumn("_shard", shard)
-    counts = (
-        df.groupBy(partition_col, "_shard").count().orderBy(partition_col, "_shard").collect()
-    )
+    auto = shards is None
+    shards = 16 if auto else shards
+
+    def _counts(n_shards: int):
+        shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_shards))
+        sharded = df.withColumn("_shard", shard)
+        rows = (
+            sharded.groupBy(partition_col, "_shard")
+            .count()
+            .orderBy(partition_col, "_shard")
+            .collect()
+        )
+        return sharded, rows
+
+    sharded, counts = _counts(shards)
+    if auto and counts:
+        max_rows = max(r["count"] for r in counts)
+        if max_rows > _SHARD_TARGET_ROWS:
+            shards = shards * (-(-max_rows // _SHARD_TARGET_ROWS))
+            sharded, counts = _counts(shards)
+
     offsets, base = [], 0
     for row in counts:
         offsets.append((row[partition_col], row["_shard"], base))
@@ -75,7 +102,7 @@ def assign_dense_ids(
     )
     w = Window.partitionBy(partition_col, "_shard").orderBy(*order_cols)
     return (
-        df.join(off_df, [partition_col, "_shard"])
+        sharded.join(off_df, [partition_col, "_shard"])
         .withColumn(id_col, F.row_number().over(w) + F.col("_base") - 1)
         .drop("_base", "_shard")
     )
@@ -87,9 +114,12 @@ def build_graph(
     extractor: str = "pandas",
     broadcast_redirects: bool = True,
     with_stats: bool = False,
+    check_conflicts: bool = True,
 ) -> GraphTables:
     """Run the full build. ``extractor`` ∈ {"pandas", "sql"} (identical
-    semantics; pandas is the mandated Arrow path, sql the JVM benchmark)."""
+    semantics; pandas is the mandated Arrow path, sql the JVM benchmark).
+    ``check_conflicts``: fail on duplicate (repo, path) source rows — A7,
+    parse.rs:203-209 parity."""
     extract = extract_refs_udf if extractor == "pandas" else extract_refs_sql
 
     extracted = repos_df.select(
@@ -110,6 +140,7 @@ def build_graph(
         F.col("_x.alias").isNotNull().alias("is_alias"),
         F.col("_x.refs").alias("_refs"),
         F.col("_x.alias").alias("_alias"),
+        F.col("_x.truncated").alias("_truncated"),
     )
     # parse-stats counters piggyback on the first materialization — the
     # analogue of the reference's per-file counter block (A6, parse.rs:500-534)
@@ -120,8 +151,26 @@ def build_graph(
             F.count(F.lit(1)).alias("pages"),
             F.sum(F.when(F.col("is_alias"), 1).otherwise(0)).alias("aliases"),
             F.sum(F.size("_refs")).alias("raw_refs"),
+            F.sum(F.when(F.col("_truncated"), 1).otherwise(0)).alias("truncated_rows"),
         )
     pages = assign_dense_ids(page_rows).persist()
+
+    if check_conflicts:
+        # (repo, path) must be unique — the analogue of the reference's
+        # hard failure on conflicting title→id rows (parse.rs:203-209);
+        # one aggregation over the already-persisted pages frame
+        conflict = (
+            pages.groupBy("repo", "path")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            r = conflict[0]
+            raise ValueError(
+                f"conflicting source rows: ({r['repo']}, {r['path']}) appears {r['n']} times"
+            )
 
     id_by_path = pages.select("repo", "path", "page_id")
 
@@ -153,7 +202,7 @@ def build_graph(
 
     # alias pages are not graph vertices once compressed away; edges from an
     # alias page resolve to its target (parse.rs:360) — already handled above.
-    pages_out = pages.drop("_refs", "_alias")
+    pages_out = pages.drop("_refs", "_alias", "_truncated")
 
     stats: dict = {}
     if with_stats:

@@ -66,8 +66,12 @@ class DatasetCatalog:
                 parsed = parse_dataset_name(name)
                 if parsed and os.path.isdir(os.path.join(self.root, name)):
                     rows.append((parsed[0], parsed[1], name))
+        # NB: no .cache() here — the listing is a tiny driver-built frame and
+        # caching a fresh copy per call would accumulate unbounded cached
+        # plans in a long-lived service (the directory can change between
+        # calls, so a once-cached listing would also go stale)
         df = self.spark.createDataFrame(rows or [], "repo string, commit string, name string")
-        return df.orderBy("repo", "commit").cache()
+        return df.orderBy("repo", "commit")
 
     def get(self, repo: str, commit: str) -> GraphTables:
         """Exact-key dataset lookup (J9, serve.rs:85-87)."""

@@ -73,17 +73,30 @@ class CheckpointManager:
         return max(steps) if steps else None
 
     def load(self, spark: SparkSession, superstep: int, verify: bool = True) -> tuple[DataFrame, float]:
-        """Read a committed checkpoint; verify rows against the marker."""
+        """Read a committed checkpoint; verify row count against the marker
+        AND the order-insensitive content checksum against the manifest (the
+        checksum is a global sum of per-row hashes, so it is independent of
+        how parquet re-partitions rows on re-read)."""
         d = self._dir(superstep)
         with open(os.path.join(d, "_COMMITTED")) as f:
             meta = json.load(f)
         state = spark.read.parquet(os.path.join(d, "state"))
         if verify:
-            n = state.count()
-            if n != meta["rows"]:
+            cols = [F.col(c) for c in state.columns]
+            row = state.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64(*cols), F.lit(1 << 31))).alias("checksum"),
+            ).collect()[0]
+            if row["n"] != meta["rows"]:
                 raise ValueError(
                     f"checkpoint {self.run_id}/superstep={superstep} corrupt: "
-                    f"{n} rows != recorded {meta['rows']}"
+                    f"{row['n']} rows != recorded {meta['rows']}"
+                )
+            recorded = self.manifest(superstep, spark).agg(F.sum("checksum")).collect()[0][0]
+            if int(row["checksum"] or 0) != int(recorded or 0):
+                raise ValueError(
+                    f"checkpoint {self.run_id}/superstep={superstep} corrupt: "
+                    f"content checksum {row['checksum']} != manifest {recorded}"
                 )
         return state, float(meta["metric"])
 
