@@ -22,8 +22,10 @@ from pyspark.sql.window import Window
 from wikipath_spark.functions.multimodal import documents_as_media, extract_media_features
 from wikipath_spark.functions.text import (
     LANG_MARKERS,
+    MINHASH_MASK30,
     fingerprint,
     lang_id,
+    minhash_perm_sql,
     punct_ratio,
     quality_score,
     stopword_ratio,
@@ -500,7 +502,7 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float, max_bucket: int) -
     buckets capped at ``max_bucket`` → candidate pairs → exact shingle-Jaccard
     verify at ``threshold``."""
     rows = k // bands
-    mins = ", ".join(f"min({_h60('sh', s)}) AS m{s}" for s in range(k))
+    mins = ", ".join(f"min({minhash_perm_sql('h1', 'h2', i)}) AS m{i}" for i in range(k))
     band_selects = " UNION ALL ".join(
         f"SELECT id, {b} AS band, md5(concat_ws(',', "
         + ", ".join(f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows))
@@ -513,7 +515,13 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float, max_bucket: int) -
             FROM documents d,
                  UNNEST([substr(lower(d.text), g, 4) FOR g IN range(1, length(d.text) - 2)]) AS u(sh)
         ),
-        sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+        hashed AS (
+            SELECT id,
+                   (CAST('0x' || substr(m, 1, 8) AS BIGINT) & {MINHASH_MASK30}) AS h1,
+                   (CAST('0x' || substr(m, 9, 8) AS BIGINT) & {MINHASH_MASK30}) AS h2
+            FROM (SELECT id, md5(sh) AS m FROM sh)
+        ),
+        sig AS (SELECT id, {mins} FROM hashed GROUP BY id),
         buckets AS ({band_selects}),
         ok AS (SELECT band, key FROM buckets GROUP BY band, key HAVING count(*) <= {max_bucket}),
         bk AS (SELECT b.* FROM buckets b JOIN ok USING (band, key)),
@@ -724,10 +732,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT d.doc_id AS id, u.sh
                 FROM documents d,
                      UNNEST([substr(lower(d.text), g, 4) FOR g IN range(1, length(d.text) - 2)]) AS u(sh)
+            ), hashed AS (
+                SELECT id,
+                       (CAST('0x' || substr(m, 1, 8) AS BIGINT) & {MINHASH_MASK30}) AS h1,
+                       (CAST('0x' || substr(m, 9, 8) AS BIGINT) & {MINHASH_MASK30}) AS h2
+                FROM (SELECT id, md5(sh) AS m FROM sh)
             )
-            SELECT id, min({_h60('sh', 0)}) AS m0, min({_h60('sh', 1)}) AS m1,
-                       min({_h60('sh', 2)}) AS m2, min({_h60('sh', 3)}) AS m3
-            FROM sh GROUP BY id
+            SELECT id, {', '.join(f"min({minhash_perm_sql('h1', 'h2', i)}) AS m{i}" for i in range(4))}
+            FROM hashed GROUP BY id
         """,
         "simhash": f"""
             WITH toks AS (
@@ -775,24 +787,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 8
         """,
         "ngram_jaccard": """
+            -- brute-force exact twin: the engine's prefix-filtered plan is
+            -- exact by the PPJoin prefix lemma, so the oracle is simply ALL
+            -- pairs sharing >=1 shingle with exact Jaccard >= threshold
             WITH sh AS (
                 SELECT DISTINCT d.doc_id AS id, u.sh
                 FROM documents d,
                      UNNEST([substr(lower(d.text), g, 4) FOR g IN range(1, length(d.text) - 2)]) AS u(sh)
             ), sizes AS (
                 SELECT id, count(*) AS sz FROM sh GROUP BY id
-            ), posting AS (
-                SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000
-            ), pruned AS (
-                SELECT sh.id, sh.sh FROM sh JOIN posting USING (sh)
-            ), cand AS (
-                SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.id < b.id
             ), inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS i
-                FROM cand c JOIN sh sa ON sa.id = c.id_a JOIN sh sb ON sb.id = c.id_b
-                WHERE sa.sh = sb.sh
-                GROUP BY c.id_a, c.id_b
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
             )
             SELECT i.id_a, i.id_b,
                    round(i.i / (za.sz + zb.sz - i.i), 6) AS jaccard

@@ -52,6 +52,40 @@ def h60_sql(expr: str, seed: int = 0) -> str:
     return f"CAST('0x' || substr(md5(concat('{seed}:', {expr})), 1, 15) AS BIGINT)"
 
 
+# MinHash permutation family: ONE md5 per shingle, then k cheap 2-independent
+# universal-hash permutations  m_i = (a_i*h1 + b_i*h2 + i) mod (2^31-1)  over
+# two disjoint 30-bit chunks of that md5 — the standard trick replacing k
+# independent md5 evaluations (measured: 16 md5+conv per shingle row was the
+# dominant LSH-dedup cost).  Two independent chunks are essential: a single-
+# chunk linear map (a*h+b) mod p with a*h ≲ 2p is near order-preserving, so
+# all k minhashes pick (almost) the same argmin shingle and LSH recall
+# collapses (measured: 256 → 97 verified pairs at sf0.1).  All intermediates
+# fit signed 64-bit (a,b < 2^31, h < 2^30 → each product < 2^61, sum < 2^62),
+# so the arithmetic is bit-identical in Spark (ANSI) and DuckDB.
+MINHASH_P31 = (1 << 31) - 1
+MINHASH_MASK30 = (1 << 30) - 1
+
+
+def minhash_perm_consts(i: int) -> tuple[int, int]:
+    """(a_i, b_i) ∈ [1, 2^31-1): index-derived multiplier pair."""
+    return (
+        (2654435761 * (i + 1)) % MINHASH_P31,
+        (2246822519 * (i + 1)) % MINHASH_P31,
+    )
+
+
+def minhash_perm(h1: Column, h2: Column, i: int) -> Column:
+    a, b = minhash_perm_consts(i)
+    return (F.lit(a).cast("long") * h1 + F.lit(b).cast("long") * h2 + F.lit(i)) % F.lit(
+        MINHASH_P31
+    )
+
+
+def minhash_perm_sql(h1_expr: str, h2_expr: str, i: int) -> str:
+    a, b = minhash_perm_consts(i)
+    return f"(({a} * {h1_expr} + {b} * {h2_expr} + {i}) % {MINHASH_P31})"
+
+
 def word_tokens(col: Column) -> Column:
     """Lowercase alphanumeric tokens — the BPE-ish regex tokenizer.
     DuckDB twin: ``regexp_extract_all(lower(x), '[a-z0-9]+')``."""
@@ -142,19 +176,27 @@ def simhash60(col: Column) -> Column:
     """60-bit SimHash over word tokens (unweighted).
 
     bit b of the fingerprint = 1 iff Σ_tokens sign(bit b of h60(token)) > 0.
-    Computed entirely with array builtins (no shuffle, no UDF): per row,
-    per-bit vote = Σ ((h>>b)&1)*2-1.
+    Computed entirely with array builtins (no shuffle, no UDF) in ONE pass:
+    the vote accumulator is a 60-long array folded token by token.  The token
+    hash is the *aggregate lambda variable* — referenced 60 times per token
+    but computed once; an expression-level formulation (60 independent
+    aggregates) would re-derive the md5 per bit, a measured 60× CPU blowup.
     """
     toks = word_tokens(col)
     hashes = F.transform(toks, lambda t: h60(t, 9))
-
-    def _vote(b: int):
-        # closure (not a default arg): F.aggregate binds one lambda variable
-        # per *parameter*, so a `b=b` default would receive a Column
-        return lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1
-
-    out = F.lit(0).cast("long")
-    for b in range(60):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
-        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), 60)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
+        ),
+    )
+    bits = F.zip_with(
+        votes, pow2, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -21,8 +21,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from wikipath_spark.functions.text import char_ngrams, h60, simhash60
+from wikipath_spark.functions.text import (
+    MINHASH_MASK30,
+    char_ngrams,
+    h60,
+    minhash_perm,
+    simhash60,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -42,13 +49,39 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame
     )
 
 
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """(id, h1, h2): one md5 per shingle row, split into two independent
+    30-bit chunks — the k permutations derive from the pair.  Two-level
+    select keeps the md5 an attribute (computed once), not an expression
+    inlined into both chunk projections."""
+    m = sh.select("id", F.md5(F.col("sh")).alias("_m"))
+
+    def chunk(start: int):
+        return (
+            F.conv(F.substring("_m", start, 8), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(MINHASH_MASK30))
+        )
+
+    return m.select("id", chunk(1).alias("h1"), chunk(9).alias("h2"))
+
+
+def _signatures_from(sh: DataFrame, k: int) -> DataFrame:
+    aggs = [
+        F.min(minhash_perm(F.col("h1"), F.col("h2"), i)).alias(f"m{i}") for i in range(k)
+    ]
+    return _hashed_shingles(sh).groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8, n: int = 4
 ) -> DataFrame:
-    """(id, m0..m{k-1}) minhash signature columns."""
-    sh = shingles(df, id_col, text_col, n)
-    aggs = [F.min(h60(F.col("sh"), seed)).alias(f"m{seed}") for seed in range(k)]
-    return sh.groupBy("id").agg(*aggs)
+    """(id, m0..m{k-1}) minhash signature columns.
+
+    m_i = min over shingles of (a_i*h1 + b_i*h2 + i) mod (2^31-1) — one md5
+    per shingle plus k integer permutations (functions/text.py), instead of
+    k md5 evaluations per shingle."""
+    return _signatures_from(shingles(df, id_col, text_col, n), k)
 
 
 def minhash_lsh_pairs(
@@ -77,8 +110,7 @@ def minhash_lsh_pairs(
     # exact-Jaccard verify — compute once, persist, reuse (at sf0.1 this
     # halved the query: the shingle explode is the dominant cost)
     sh = shingles(df, id_col, text_col, n).persist()
-    aggs = [F.min(h60(F.col("sh"), seed)).alias(f"m{seed}") for seed in range(k)]
-    sig = sh.groupBy("id").agg(*aggs)
+    sig = _signatures_from(sh, k)
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
@@ -86,8 +118,13 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("id", F.explode(F.array(*band_keys)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # persist: the bucket frame feeds three scans (size filter + both sides
+    # of the candidate self-join); unpersisted, the whole shingle→signature
+    # subtree re-evaluates each time (measured 3× query cost at sf0.1)
+    buckets = (
+        sig.select("id", F.explode(F.array(*band_keys)).alias("bk"))
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
     )
     ok = (
         buckets.groupBy("band", "key")
@@ -137,24 +174,64 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 4,
     threshold: float = 0.5,
-    max_posting: int = 1000,
+    max_posting: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity ≥ threshold via inverted index.
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via prefix filtering.
 
-    ``max_posting`` drops shingles appearing in more than that many docs
-    (stop-shingles) from *pair generation only* — verification still uses
-    full sets, so results below the threshold are never admitted; at 100 TB
-    this bound is what keeps the index join from quadratic blowup.
+    Shingles are globally ordered by (document frequency, shingle); each doc
+    keeps only its prefix of length |A| - ceil(t·|A|) + 1 for pair
+    generation.  PPJoin's prefix lemma (Xiao et al., WWW'08): the globally
+    smallest shared shingle of any pair with J ≥ t lies inside BOTH prefixes,
+    so the prefix self-join loses no qualifying pair — and prefixes hold each
+    doc's *rarest* shingles, so Σ_sh df² over the index collapses (measured
+    355s → seconds at sf0.1 on a near-dup-clustered corpus).  Survivors get
+    an exact full-set verify; the result is every pair with J ≥ threshold.
+
+    ``max_posting`` optionally drops prefix shingles with df above the cap
+    from pair generation (recall guard OFF by default — with it set, a pair
+    whose every prefix-shared shingle is capped can be missed).
     """
     sh = shingles(df, id_col, text_col, n).persist()
-    posting_ok = sh.groupBy("sh").agg(F.count("*").alias("df_")).filter(F.col("df_") <= max_posting)
-    pruned = sh.join(posting_ok.select("sh"), "sh", "left_semi")
-    cand = (
-        pruned.alias("a")
-        .join(pruned.alias("b"), "sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy("id").orderBy("df_", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    if max_posting is not None:
+        prefix = prefix.filter(F.col("df_") <= max_posting)
+    prefix = prefix.select("id", "sh")
+    # ONE heavy pass: the prefix self-join feeds a partially-aggregating
+    # groupBy directly (map-side combine collapses per-pair duplicates before
+    # the shuffle) instead of (distinct pairs → verification re-joins)
+    ip = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("ip"))
+    )
+    # exact upper bound on the full intersection: at most the whole non-prefix
+    # suffix of the smaller side can be shared beyond the prefix overlap, so
+    # ub >= true inter and no J >= t pair is dropped before the exact verify
+    plen = lambda sz: sz - F.ceil(F.lit(threshold) * sz) + 1  # noqa: E731
+    cand = (
+        ip.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "ub_i",
+            F.col("ip")
+            + F.least(
+                F.col("sz_a") - plen(F.col("sz_a")), F.col("sz_b") - plen(F.col("sz_b"))
+            ),
+        )
+        .filter(F.col("ub_i") / (F.col("sz_a") + F.col("sz_b") - F.col("ub_i")) >= threshold)
+        .select("id_a", "id_b")
     )
     return _verify_jaccard(cand, sh, threshold)
 
@@ -216,7 +293,9 @@ def simhash_pairs(
     """Near-duplicate pairs by SimHash: banded bucketing (a pair within
     Hamming distance < bands must agree on ≥1 band — pigeonhole), then exact
     ``bit_count(xor)`` verification.  Returns (id_a, id_b, hamming)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # persist: both sides of the bucket self-join scan the fingerprints —
+    # without it the (tokenize + md5 + 60-bit vote fold) runs twice
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
     width = 60 // bands
     mask = (1 << width) - 1
     band_cols = [
