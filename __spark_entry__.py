@@ -301,7 +301,7 @@ def q_embedding_near_dup(spark, sf):
         F.transform("embedding", lambda x: x * 2).alias("embedding"),
     )
     return embedding_near_dup_pairs(
-        emb.select("vec_id", "embedding").unionByName(twins), threshold=0.95, planes=4
+        emb.select("vec_id", "embedding").unionByName(twins), threshold=0.95, planes=8
     )
 
 
@@ -890,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
                 FROM embeddings
             ), b AS (
-                SELECT id, v, {_lsh_bucket_sql('v', 4)} AS bucket FROM base
+                SELECT id, v, {_lsh_bucket_sql('v', 8)} AS bucket FROM base
             ), scored AS (
                 SELECT a.id AS id_a, c.id AS id_b,
                        round(list_dot_product(a.v, c.v)

