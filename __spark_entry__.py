@@ -8,7 +8,12 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 Graph-iterative and LSH-plumbing queries are rows-only.
+                 33 of 35 queries are oracled — the synthetic-graph ones by
+                 regenerating the deterministic class-level edge structure
+                 inside DuckDB (see ``_graph_oracle_edges``); only the two
+                 floating-point/iterative-tie-break queries
+                 (``graph_pagerank``, ``graph_labels``) are rows-only, each
+                 verified by an independent non-SQL oracle in tests.
 """
 
 from __future__ import annotations
