@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from wikipath_spark.functions.multimodal import documents_as_media, extract_media_features
+from wikipath_spark.functions.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    synthetic_media,
+)
 from wikipath_spark.functions.text import (
     LANG_MARKERS,
     MINHASH_MASK30,
@@ -323,6 +327,30 @@ def q_media_features(spark, sf):
     return feats.select("media_id", "kind", "n_bytes", "content_sha256", "feature_hash")
 
 
+_MEDIA_N = 120
+
+
+def q_media_real_decode(spark, sf):
+    """REAL media decode: generate genuine WAV/BMP/Y4M container bytes
+    (sine tones / gradient bitmaps / moving-gradient clips), parse them
+    byte-level (numpy/struct — no codec libs), and emit the decoded signal
+    statistics.  The oracle recomputes the same statistics independently
+    from the generator's index arithmetic — validating encoder AND decoder
+    end-to-end."""
+    media = synthetic_media(spark, n=_MEDIA_N)
+    feats = extract_media_features(media, decoder="real")
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
+        F.round("mean_value", 6).alias("mean_value"),
+        "decode_ok",
+    )
+
+
 # ------------------------------------------------- synthetic-graph queries
 #
 # The synthetic source table is pure index arithmetic (sources/synthetic.py),
@@ -466,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_labels": q_graph_labels,
@@ -966,5 +995,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST({3 * _GRAPH_CLASSES} AS BIGINT) AS n_pages,
                    CAST(count(*) AS BIGINT) AS n_edges
             FROM cedges GROUP BY ri
+        """,
+        # recompute the decoded WAV/BMP/Y4M signal statistics independently
+        # from the generator's index arithmetic (sine-tone truncated-int16
+        # mean, exact gradient pixel sums, first-frame luma mean) — Spark's
+        # side obtained them by byte-level parsing of real container bytes
+        "media_real_decode": f"""
+            WITH m AS (SELECT unnest(range(0, {_MEDIA_N})) AS media_id),
+            audio AS (
+                SELECT media_id, 2000 + (media_id % 5) * 500 AS n,
+                       110.0 * (1 + media_id % 8) AS freq
+                FROM m WHERE media_id % 3 = 1
+            ),
+            audio_f AS (
+                SELECT media_id, 'audio' AS kind,
+                       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                       CAST(8000 AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_frames,
+                       round(list_aggregate(
+                           [abs(trunc(10000 * sin(2 * pi() * freq * t / 8000)))
+                            FOR t IN range(0, n)], 'avg'), 6) AS mean_value
+                FROM audio
+            ),
+            image AS (
+                SELECT media_id, 8 + media_id % 9 AS w, 6 + media_id % 7 AS h
+                FROM m WHERE media_id % 3 = 0
+            ),
+            image_f AS (
+                SELECT media_id, 'image' AS kind,
+                       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                       CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_frames,
+                       round((h * list_aggregate([x * 255 // (w - 1) FOR x IN range(0, w)], 'sum')
+                            + w * list_aggregate([y * 255 // (h - 1) FOR y IN range(0, h)], 'sum')
+                            + h * w * (media_id % 256)) / (h * w * 3.0), 6) AS mean_value
+                FROM image
+            ),
+            video AS (
+                SELECT media_id, 8 + (media_id % 5) * 2 AS w, 6 + (media_id % 3) * 2 AS h,
+                       3 + media_id % 4 AS nf
+                FROM m WHERE media_id % 3 = 2
+            ),
+            video_f AS (
+                SELECT media_id, 'video' AS kind,
+                       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                       CAST(NULL AS INT) AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+                       round(list_aggregate(
+                           [((i % w) * 17 + (i // w) * 31 + media_id) % 256
+                            FOR i IN range(0, w * h)], 'sum') / (w * h * 1.0), 6) AS mean_value
+                FROM video
+            )
+            SELECT media_id, kind, width, height, sample_rate, n_frames, mean_value,
+                   TRUE AS decode_ok
+            FROM (SELECT * FROM audio_f UNION ALL SELECT * FROM image_f
+                  UNION ALL SELECT * FROM video_f)
         """,
     }

@@ -57,9 +57,44 @@ GRAPH_CLASSES = int(os.environ.get("WPS_BENCH_CLASSES", "3000"))
 GRAPH_REPOS = int(os.environ.get("WPS_BENCH_REPOS", "8"))
 
 
+def _host_calibration() -> dict:
+    """Host-speed reference measured at bench start: the sandbox VM's
+    throughput swings >2x between runs (hypervisor noisy-neighbor phases —
+    identical code measured 104s and 211s within one hour), so every bench
+    line carries a CPU calibration to compare rounds honestly:
+    single-process and 16-process sha256 chain rates (hashes/sec)."""
+    import hashlib
+    import multiprocessing as mp
+    import time as _t
+
+    def burn(n: int) -> int:
+        h = b"x" * 64
+        for _ in range(n):
+            h = hashlib.sha256(h).digest()
+        return 1
+
+    n = 300_000
+    t0 = _t.time(); burn(n); one = n / (_t.time() - t0)
+    t0 = _t.time()
+    with mp.Pool(16) as p:
+        p.map(_burn_child, [n] * 16)
+    many = 16 * n / (_t.time() - t0)
+    return {"sha256_per_sec_1p": round(one), "sha256_per_sec_16p": round(many)}
+
+
+def _burn_child(n: int) -> int:
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    calib = _host_calibration()
     spark = get_spark(app_name="wikipath_spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,6 +139,7 @@ def main() -> None:
             "edges_per_sec": round(edges_per_sec, 1),
         },
         "cores": cpus,
+        "host_calibration": calib,
     }
     print(json.dumps(out))
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from wikipath_spark.functions.multimodal import (
     documents_as_media,
     extract_media_features,
-    frame_sample_stub,
+    frame_sample,
 )
 from wikipath_spark.functions.text import (
     fingerprint,
@@ -165,14 +165,18 @@ def test_multimodal_plumbing(spark):
     import hashlib
 
     assert by_id[0].content_sha256 == hashlib.sha256(DOCS[0][1].encode()).hexdigest()
-    frames = frame_sample_stub(media).collect()
+    frames = frame_sample(media).collect()
     assert len(frames) >= 6
 
 
-def test_multimodal_real_decoder_stubbed(spark):
-    docs = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_media_features(documents_as_media(docs), decoder="real").collect()
+def test_multimodal_real_decoder_tolerates_foreign_bytes(spark):
+    """decoder='real' on non-WAV/BMP/Y4M payloads must not fail the scan:
+    rows come back decode_ok=False with null media fields (P5 tolerance)."""
+    docs = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    rows = extract_media_features(documents_as_media(docs), decoder="real").collect()
+    assert len(rows) == 3
+    assert all(not r.decode_ok and r.width is None and r.sample_rate is None for r in rows)
+    assert all(r.n_bytes > 0 and r.content_sha256 for r in rows)
 
 
 def test_streaming_matches_batch(spark, tmp_path):

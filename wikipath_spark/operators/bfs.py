@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -111,9 +111,18 @@ def shortest_paths(
             new = cand.join(fwd_visited, "id", "left_anti").persist()
             fwd_depth += 1
             fwd_dag.append(new.withColumn("depth", F.lit(fwd_depth)))
-            fwd_frontier = new.select("id").distinct().localCheckpoint(eager=True)
-            fwd_visited = fwd_visited.union(fwd_frontier).localCheckpoint(eager=True)
-            fwd_n = fwd_frontier.count()
+            # one action per superstep: the frontier count rides on the
+            # checkpointing pass via observe; visited stays a union chain of
+            # checkpointed frontiers (bounded, RDD-backed branches)
+            obs = Observation(f"sp_f{fwd_depth}")
+            fwd_frontier = (
+                new.select("id")
+                .distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            fwd_visited = fwd_visited.union(fwd_frontier)
+            fwd_n = int(obs.get["n"] or 0)
             meet = fwd_frontier.join(bwd_visited, "id", "left_semi")
         else:
             cand = (
@@ -123,9 +132,15 @@ def shortest_paths(
             new = cand.join(bwd_visited, "id", "left_anti").persist()
             bwd_depth += 1
             bwd_dag.append(new.withColumn("depth", F.lit(bwd_depth)))
-            bwd_frontier = new.select("id").distinct().localCheckpoint(eager=True)
-            bwd_visited = bwd_visited.union(bwd_frontier).localCheckpoint(eager=True)
-            bwd_n = bwd_frontier.count()
+            obs = Observation(f"sp_b{bwd_depth}")
+            bwd_frontier = (
+                new.select("id")
+                .distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            bwd_visited = bwd_visited.union(bwd_frontier)
+            bwd_n = int(obs.get["n"] or 0)
             meet = bwd_frontier.join(fwd_visited, "id", "left_semi")
         meet = meet.persist()
         if meet.limit(1).count() > 0:
@@ -252,20 +267,27 @@ def bfs_distances(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     visited = spark.createDataFrame([(source, 0)], "page_id long, distance int")
     frontier = visited.select(F.col("page_id").alias("id"))
-    # AQE stays on: frontier size varies wildly level to level
+    # AQE stays on: frontier size varies wildly level to level.
+    # ONE action per level: the frontier count rides on the checkpointing
+    # pass via df.observe (was checkpoint + limit-count + checkpoint = 3
+    # driver actions per level — fixed per-action latency dominated the
+    # query).  `visited` stays a union chain of already-checkpointed
+    # frontiers: ≤ max_depth RDD-backed branches, no growing lineage.
     for depth in range(1, max_depth + 1):
+        obs = Observation(f"bfs_{depth}")
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, F.col("id") == visited["page_id"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if int(obs.get["n"] or 0) == 0:
             break
         visited = visited.union(
             nxt.select(F.col("id").alias("page_id"), F.lit(depth).alias("distance"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     return visited
 
