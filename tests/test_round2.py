@@ -50,6 +50,25 @@ def test_simhash_array_equals_exploded(spark):
     assert arr[4] == 0 and arr[5] == 0
 
 
+def test_minhash_pandas_equals_sql_fold(spark):
+    """The Arrow minhash kernel and the JVM array fold must be bit-identical
+    (same md5-chunk derivation, same permutation arithmetic)."""
+    from wikipath_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "Pack my box with FIVE dozen liquor jugs!"),
+            (3, 'include!("src/pkg0/mod0.rs"); // ünïcode tail'),
+            (4, "abc"),  # shorter than n=4: dropped by both impls
+        ],
+        "doc_id long, text string",
+    )
+    a = {r.id: tuple(r[1:]) for r in minhash_signatures(docs, k=8, impl="pandas").collect()}
+    b = {r.id: tuple(r[1:]) for r in minhash_signatures(docs, k=8, impl="sql").collect()}
+    assert set(a) == {1, 2, 3} and a == b
+
+
 # ------------------------------------------------- planted near-duplicates
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -51,8 +51,11 @@ def compress_redirects(
         return r
     cap = max_iters if max_iters is not None else int(math.ceil(math.log2(n + 1))) + 2
 
-    for _ in range(cap):
+    for it in range(cap):
         hop = r.select(F.col("src").alias("h_src"), F.col("dst").alias("h_dst"))
+        # one action per iteration: the changed-count rides the checkpointing
+        # pass via observe (was checkpoint + filter-count = 2 jobs/iteration)
+        obs = Observation(f"compress_{it}")
         stepped = (
             r.join(hop, r["dst"] == hop["h_src"], "left")
             .select(
@@ -60,11 +63,11 @@ def compress_redirects(
                 F.coalesce("h_dst", "dst").alias("dst"),
                 (F.col("h_dst").isNotNull() & (F.col("h_dst") != F.col("dst"))).alias("_changed"),
             )
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        stepped = stepped.localCheckpoint(eager=True)
-        changed = stepped.filter("_changed").count()
         r = stepped.select("src", "dst")
-        if changed == 0:
+        if int(obs.get["n"] or 0) == 0:
             break
 
     # Cycle residue: any row whose final dst is still a source never reached

@@ -49,39 +49,124 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 4) -> DataFrame
     )
 
 
-def _hashed_shingles(sh: DataFrame) -> DataFrame:
-    """(id, h1, h2): one md5 per shingle row, split into two independent
-    30-bit chunks — the k permutations derive from the pair.  Two-level
-    select keeps the md5 an attribute (computed once), not an expression
-    inlined into both chunk projections."""
-    m = sh.select("id", F.md5(F.col("sh")).alias("_m"))
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shset): each document's distinct shingles as ONE array row —
+    the un-exploded twin of :func:`shingles` (drops the same empty rows)."""
+    return df.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shset"),
+    )
 
-    def chunk(start: int):
+
+def _signatures_inline(
+    df: DataFrame, id_col: str, text_col: str, k: int, n: int
+) -> DataFrame:
+    """(id, m0..m{k-1}) with ZERO shuffle: the minhash of a document is a
+    per-row array fold — distinct char n-grams → one md5 each (a single
+    transform pass projected to an attribute, so the k permutation columns
+    read hashes instead of recomputing them) → array_min per permutation.
+    The explode+groupBy formulation shuffles |doc|·|shingles| rows to
+    compute the same min; it remains only as the verification input and the
+    SQL-oracle mirror (min over the same distinct-shingle set — identical
+    values, tested).  Rows with no shingle (len(text) < n) are dropped, the
+    same set the explode path drops."""
+    grams = F.array_distinct(char_ngrams(F.col(text_col), n))
+
+    def chunk(m, start: int):
         return (
-            F.conv(F.substring("_m", start, 8), 16, 10)
+            F.conv(F.substring(m, start, 8), 16, 10)
             .cast("bigint")
             .bitwiseAND(F.lit(MINHASH_MASK30))
         )
 
-    return m.select("id", chunk(1).alias("h1"), chunk(9).alias("h2"))
+    hashed = F.transform(
+        F.transform(grams, lambda g: F.md5(g)),
+        # m is the lambda VARIABLE of the outer transform: the md5 is
+        # computed once per shingle and read twice, not derived twice
+        lambda m: F.struct(chunk(m, 1).alias("h1"), chunk(m, 9).alias("h2")),
+    )
+    base = df.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("id"), hashed.alias("_hp")
+    )
+    # ONE fold pass carrying a k-field min-struct accumulator: k separate
+    # array_min(transform(...)) columns would materialize k intermediate
+    # arrays per row (measured ~2× the whole fold's cost in interpreted
+    # higher-order evaluation).  The fold is projected to an attribute so the
+    # k output columns read it instead of re-running it k times.
+    from wikipath_spark.functions.text import MINHASH_P31
+
+    init = F.struct(*[F.lit(MINHASH_P31).cast("long").alias(f"m{i}") for i in range(k)])
+
+    def step(acc, p):
+        return F.struct(
+            *[
+                F.least(acc[f"m{i}"], minhash_perm(p["h1"], p["h2"], i)).alias(f"m{i}")
+                for i in range(k)
+            ]
+        )
+
+    folded = base.select("id", F.aggregate(F.col("_hp"), init, step).alias("_sig"))
+    return folded.select("id", *[F.col(f"_sig.m{i}").alias(f"m{i}") for i in range(k)])
 
 
-def _signatures_from(sh: DataFrame, k: int) -> DataFrame:
-    aggs = [
-        F.min(minhash_perm(F.col("h1"), F.col("h2"), i)).alias(f"m{i}") for i in range(k)
-    ]
-    return _hashed_shingles(sh).groupBy("id").agg(*aggs)
+def _signatures_pandas(
+    df: DataFrame, id_col: str, text_col: str, k: int, n: int
+) -> DataFrame:
+    """Arrow-batched signature kernel: per batch, C-speed hashlib md5 per
+    distinct shingle and ONE numpy broadcast (k × |shingles| multiply-mod)
+    per document.  Bit-identical to :func:`_signatures_inline` (tested): the
+    md5 chunks are digest bytes 0-4 / 4-8 big-endian == hex substrings
+    1-8 / 9-16.  The interpreted JVM array fold costs ~12s at sf0.1 where
+    this kernel costs ~1s — the measured case for the mandated Arrow path."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from wikipath_spark.functions.text import MINHASH_P31, minhash_perm_consts
+
+    consts = [minhash_perm_consts(i) for i in range(k)]
+    A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+    I = np.arange(k, dtype=np.int64)[:, None]
+
+    def batch(texts):  # unannotated: `from __future__ import annotations`
+        # stringifies hints and breaks pandas_udf eval-type inference
+        out = []
+        md5 = hashlib.md5
+        for t in texts:
+            t = t.lower()
+            shs = {t[i : i + n] for i in range(len(t) - n + 1)}
+            raw = b"".join(md5(s.encode()).digest()[:8] for s in shs)
+            hs = np.frombuffer(raw, dtype=">u4").reshape(-1, 2).astype(np.int64)
+            h1, h2 = hs[:, 0] & MINHASH_MASK30, hs[:, 1] & MINHASH_MASK30
+            out.append(((A * h1 + B * h2 + I) % MINHASH_P31).min(axis=1).tolist())
+        return pd.Series(out)
+
+    udf = F.pandas_udf(batch, returnType="array<long>")
+    base = df.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_sig")
+    )
+    return base.select("id", *[F.col("_sig").getItem(i).alias(f"m{i}") for i in range(k)])
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8, n: int = 4
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n: int = 4,
+    impl: str = "pandas",
 ) -> DataFrame:
     """(id, m0..m{k-1}) minhash signature columns.
 
-    m_i = min over shingles of (a_i*h1 + b_i*h2 + i) mod (2^31-1) — one md5
-    per shingle plus k integer permutations (functions/text.py), instead of
-    k md5 evaluations per shingle."""
-    return _signatures_from(shingles(df, id_col, text_col, n), k)
+    m_i = min over distinct shingles of (a_i*h1 + b_i*h2 + i) mod (2^31-1)
+    over two 30-bit chunks of one md5 per shingle (functions/text.py).
+    ``impl="pandas"`` (default) is the vectorized Arrow kernel;
+    ``impl="sql"`` the pure-JVM array fold — identical outputs (tested)."""
+    if impl == "pandas":
+        return _signatures_pandas(df, id_col, text_col, k, n)
+    return _signatures_inline(df, id_col, text_col, k, n)
 
 
 def minhash_lsh_pairs(
@@ -106,11 +191,10 @@ def minhash_lsh_pairs(
     (k/bands) rather than max_bucket to reduce collisions without recall loss.
     """
     rows = k // bands
-    # shingle sets are the shared input of BOTH signature derivation and the
-    # exact-Jaccard verify — compute once, persist, reuse (at sf0.1 this
-    # halved the query: the shingle explode is the dominant cost)
-    sh = shingles(df, id_col, text_col, n).persist()
-    sig = _signatures_from(sh, k)
+    # signatures from the shuffle-free Arrow kernel; verification reads the
+    # per-row shingle-set arrays — no exploded shingle frame anywhere
+    sets_ = _shingle_sets(df, id_col, text_col, n)
+    sig = _signatures_pandas(df, id_col, text_col, k, n)
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
@@ -118,14 +202,16 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # persist: the bucket frame feeds three scans (size filter + both sides
-    # of the candidate self-join); unpersisted, the whole shingle→signature
-    # subtree re-evaluates each time (measured 3× query cost at sf0.1)
+    # persist + eager materialization: the bucket frame feeds three scans
+    # (size filter + both sides of the candidate self-join); lazily-persisted
+    # it would re-run the signature subtree per concurrent branch (cache
+    # population races partition-wise), measured 3× query cost at sf0.1
     buckets = (
         sig.select("id", F.explode(F.array(*band_keys)).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .persist()
     )
+    buckets.count()
     ok = (
         buckets.groupBy("band", "key")
         .agg(F.count("*").alias("bsz"))
@@ -140,24 +226,23 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh, jaccard_threshold)
+    return _verify_jaccard(cand, sets_, jaccard_threshold)
 
 
-def _verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over a pre-computed ``(id, sh)`` shingle frame."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    # intersection size: both shingle-set joins are pure equi-joins — the
-    # shingle value is part of the second join key, so the hash join emits
-    # |A∩B| rows per pair instead of |A|×|B| rows filtered afterwards
-    inter = (
-        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+def _verify_jaccard(pairs: DataFrame, sets_: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard of candidate pairs over per-row shingle-SET arrays:
+    two equi-joins attach each side's array, ``array_intersect`` sizes the
+    overlap JVM-side.  Same bytes moved as the exploded equi-join
+    formulation (set contents travel either way) but |pairs| rows instead of
+    |pairs|·|shingles| — and the set frame broadcasts when small."""
+    a = sets_.select(F.col("id").alias("id_a"), F.col("shset").alias("_sa"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("shset").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("sz_a", F.size("_sa"))
+        .withColumn("sz_b", F.size("_sb"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -165,7 +250,6 @@ def _verify_jaccard(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFr
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def ngram_jaccard_pairs(
@@ -233,7 +317,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("ub_i") / (F.col("sz_a") + F.col("sz_b") - F.col("ub_i")) >= threshold)
         .select("id_a", "id_b")
     )
-    return _verify_jaccard(cand, sh, threshold)
+    return _verify_jaccard(cand, _shingle_sets(df, id_col, text_col, n), threshold)
 
 
 def simhash_fingerprints(
