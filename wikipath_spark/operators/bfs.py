@@ -84,7 +84,13 @@ def shortest_paths(
         res.length, res.count = 0, 1
         return res
 
+    # every superstep joins the frontier against the edge table; if the
+    # caller passed a derived (un-cached) frame, each level would recompute
+    # its whole lineage from source — materialize once
+    cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
     edges = edges.select("src", "dst")
+    if not cached:
+        edges = edges.localCheckpoint(eager=True)
 
     def one(v: int) -> DataFrame:
         return spark.createDataFrame([(v,)], "id long")
@@ -265,6 +271,11 @@ def bfs_distances(
     """
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge projection once: the frontier join re-reads it
+    # every level, and an un-cached caller-derived lineage (scan + distinct +
+    # union) would otherwise re-run max_depth times
+    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+        e = e.localCheckpoint(eager=True)
     visited = spark.createDataFrame([(source, 0)], "page_id long, distance int")
     frontier = visited.select(F.col("page_id").alias("id"))
     # AQE stays on: frontier size varies wildly level to level.

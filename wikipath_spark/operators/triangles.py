@@ -19,11 +19,15 @@ from pyspark.sql import functions as F
 
 
 def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    # materialized once: the degree aggregation and the degree-attach joins
+    # each scan this frame, and the caller's edge derivation (e.g. a
+    # self-join building co-occurrence pairs) must not re-run per scan
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     with_deg = (
