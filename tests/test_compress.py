@@ -24,10 +24,14 @@ FIXTURES = [
 ]
 
 
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver", "distributed"])
 @pytest.mark.parametrize("name,inp,expected", FIXTURES, ids=[f[0] for f in FIXTURES])
-def test_compress_fixture(spark, name, inp, expected):
+def test_compress_fixture(spark, name, inp, expected, threshold):
     df = spark.createDataFrame(list(inp.items()), "src long, dst long")
-    got = {r.src: r.dst for r in compress_redirects(df).collect()}
+    got = {
+        r.src: r.dst
+        for r in compress_redirects(df, driver_threshold=threshold).collect()
+    }
     assert got == expected
 
 
@@ -37,9 +41,10 @@ def test_compress_empty(spark):
 
 
 def test_compress_long_chain(spark):
-    # 0→1→…→63: log-bound pointer doubling must fully flatten
+    # 0→1→…→63: log-bound pointer doubling must fully flatten (forced
+    # distributed path — the driver walk is exercised by the fixtures)
     df = spark.createDataFrame([(i, i + 1) for i in range(63)], "src long, dst long")
-    got = {r.src: r.dst for r in compress_redirects(df).collect()}
+    got = {r.src: r.dst for r in compress_redirects(df, driver_threshold=0).collect()}
     assert got == {i: 63 for i in range(63)}
 
 
@@ -75,17 +80,21 @@ def test_oracle_agrees_with_reference_fixtures():
         assert _compress_oracle(inp) == expected, name
 
 
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver", "distributed"])
 @pytest.mark.parametrize("seed", range(12))
-def test_compress_random_vs_oracle(spark, seed):
+def test_compress_random_vs_oracle(spark, seed, threshold):
     """Random functional graphs (chains, trees, cycles, ρ-shapes) must match
-    the reference-semantics oracle exactly."""
+    the reference-semantics oracle exactly — on BOTH physical strategies."""
     import random
 
     rng = random.Random(seed)
     n = rng.randrange(5, 60)
     m = {s: rng.randrange(0, 70) for s in rng.sample(range(70), n)}
     df = spark.createDataFrame(list(m.items()), "src long, dst long")
-    got = {r.src: r.dst for r in compress_redirects(df).collect()}
+    got = {
+        r.src: r.dst
+        for r in compress_redirects(df, driver_threshold=threshold).collect()
+    }
     assert got == _compress_oracle(m)
 
 

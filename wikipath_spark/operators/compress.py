@@ -27,19 +27,58 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def _compress_driver_side(rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Memoized sequential walk with per-walk cycle detection — the
+    reference's own algorithm (parse.rs:541-608), exact semantics: chains
+    flatten to terminals; self-redirects, cycle members, and every chain
+    leading into a cycle resolve to ``None`` (dropped)."""
+    nxt = dict(rows)
+    resolved: dict[int, int | None] = {}
+    for start in nxt:
+        if start in resolved:
+            continue
+        path: list[int] = []
+        on_path: set[int] = set()
+        cur = start
+        while True:
+            if cur in resolved:
+                val = resolved[cur]
+                break
+            if cur in on_path:  # walked into a cycle: the whole path dies
+                val = None
+                break
+            if cur not in nxt:  # terminal
+                val = cur
+                break
+            path.append(cur)
+            on_path.add(cur)
+            cur = nxt[cur]
+        for p in path:
+            resolved[p] = val
+    return [(s, t) for s, t in resolved.items() if t is not None]
+
+
 def compress_redirects(
     redirects: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iters: int | None = None,
     checkpoint_every: int = 1,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Compress an alias map ``(src, dst)`` to terminal targets.
 
     Returns the compressed map: every surviving row points directly at a
     terminal (non-source) vertex; self-redirects and all cycle-touching
     chains are gone (parse.rs:756-804 semantics).
-    """
+
+    Adaptive physical strategy: alias maps are a small fraction of the page
+    set by nature, so up to ``driver_threshold`` rows the compression is the
+    reference's own memoized driver-side walk (collect → walk → parallelize;
+    exact, one pass).  Above it, distributed pointer doubling — note cycle
+    rows never stabilize under pointer jumping (their dst rotates each
+    round), so that path always runs its full ⌈log2 n⌉ cap when cycles
+    exist; both paths produce identical results (tested)."""
     # NB: self-redirects are NOT pre-filtered — the reference treats x→x as a
     # 1-cycle, so chains *into* a self-redirect must also die (parse.rs:767-779
     # fixture: {1:2, 2:2} ⇒ both removed). A self-loop is stable under pointer
@@ -49,6 +88,10 @@ def compress_redirects(
     n = r.count()
     if n == 0:
         return r
+    if n <= driver_threshold:
+        spark = redirects.sparkSession
+        compressed = _compress_driver_side([(row.src, row.dst) for row in r.collect()])
+        return spark.createDataFrame(compressed or [], "src long, dst long")
     cap = max_iters if max_iters is not None else int(math.ceil(math.log2(n + 1))) + 2
 
     for it in range(cap):

@@ -130,6 +130,12 @@ def build_graph(
         extract(F.col("content"), F.col("lang")).alias("_x"),
         sha256_col(F.col("content")).alias("content_sha256"),
     )
+    # materialize the extraction ONCE: dense-id assignment scans its input
+    # twice (per-shard counts, then the window pass), and without a barrier
+    # the source scan + regex extraction — the most expensive stage of the
+    # whole build at scale — would run twice.  `content` is already projected
+    # away, so the checkpoint holds only refs/alias/sha columns.
+    extracted = extracted.localCheckpoint(eager=True)
 
     page_rows = extracted.select(
         "repo",
