@@ -414,9 +414,28 @@ def q_graph_components(spark, sf):
     return c.join(rep, "component").select("vkey", F.col("crep").alias("component"))
 
 
-def q_graph_labels(spark, sf):  # rows-only: iterative majority-vote labels
+_LPA_ROUNDS = 5
+
+
+def q_graph_labels(spark, sf):
+    """Label propagation over the STABLE-KEYED graph: tie-breaks use minimum
+    label, so the engine must run on the same vertex ids the oracle uses —
+    the dynamics depend on the ordering.  With a fixed round count the
+    update is SQL-expressible (unrolled majority-vote rounds); early
+    convergence is safe because a stable labeling is a fixpoint of further
+    rounds (idempotent once labels stop changing)."""
     g = _synthetic_graph(spark)
-    return label_propagation(g.edges, max_iter=5)
+    keyed = _keyed_pages(g)
+    vedges = (
+        g.edges.join(
+            keyed.select(F.col("page_id").alias("src"), F.col("vkey").alias("_vs")), "src"
+        )
+        .join(keyed.select(F.col("page_id").alias("dst"), F.col("vkey").alias("_vd")), "dst")
+        .select(F.col("_vs").alias("src"), F.col("_vd").alias("dst"))
+    )
+    return label_propagation(vedges, max_iter=_LPA_ROUNDS).select(
+        F.col("page_id").alias("vkey"), "label"
+    )
 
 
 def q_graph_triangles(spark, sf):
@@ -572,6 +591,34 @@ def _minhash_lsh_oracle(k: int, bands: int, threshold: float, max_bucket: int) -
         SELECT i.id_a, i.id_b, round(i.i / (za.sz + zb.sz - i.i), 6) AS jaccard
         FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
         WHERE round(i.i / (za.sz + zb.sz - i.i), 6) >= {threshold}
+    """
+
+
+def _graph_labels_oracle() -> str:
+    """Unrolled synchronous LPA: each round every vertex adopts the most
+    frequent neighbor label, ties to the MINIMUM label — expressed as a
+    window over the (id, label) count aggregate.  Runs on the regenerated
+    stable-key edge structure, matching the engine's vkey-relabeled run."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+            r{r} AS (
+                SELECT id, label FROM (
+                    SELECT s.u AS id, l.label, count(*) AS cnt,
+                           row_number() OVER (PARTITION BY s.u
+                                              ORDER BY count(*) DESC, l.label ASC) AS rn
+                    FROM sym s JOIN {prev} l ON s.v = l.id
+                    GROUP BY s.u, l.label
+                ) WHERE rn = 1
+            )""")
+        prev = f"r{r}"
+    return f"""
+        WITH RECURSIVE {_graph_oracle_edges()},
+        sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),
+        l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym),
+        {','.join(rounds)}
+        SELECT id AS vkey, CAST(label AS BIGINT) AS label FROM {prev}
     """
 
 
@@ -934,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
         """,
+        "graph_labels": _graph_labels_oracle(),
         "graph_components": f"""
             WITH RECURSIVE {_graph_oracle_edges()},
             sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),
