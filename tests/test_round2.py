@@ -93,6 +93,39 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
         assert pair in {(0, 1), (2, 4)}, f"false positive {pair}"
 
 
+def test_ivf_topk_recall_and_exactness(spark):
+    """IVF with nprobe=1 on well-separated clusters recalls ≥90% of the
+    exact neighbors; probing every list is exactly brute force."""
+    from wikipath_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rows = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[c * 2] = 10.0
+        for j in range(25):
+            v = list(base)
+            v[(c * 2 + 1) % 8] += 0.1 * j
+            v[7 - c] += 0.05 * (j % 5)
+            rows.append((c * 25 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id % 10 = 0")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=1).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+    # nprobe = n_centroids → candidate set is the whole corpus → exact
+    full = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=4).collect()
+    }
+    exact_v = {
+        (r.query_id, r.neighbor_id, r.cosine) for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    assert full == exact_v
+
+
 # ----------------------------------------------- loop confs survive failure
 
 
@@ -218,6 +251,29 @@ def test_dense_ids_explicit_shards_still_dense(spark):
     )
     ids = sorted(r.page_id for r in assign_dense_ids(df, shards=64).collect())
     assert ids == list(range(200))
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Watermark-bounded streaming dedup over a static source must keep the
+    same key set as the batch dropDuplicates twin."""
+    from wikipath_spark.streaming.dedup import dedup_events, run_stream_dedup_to_memory
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # plant exact duplicates (same event_id + ts)
+    dup = events.limit(20)
+    src = str(tmp_path / "dedup_stream")
+    events.unionByName(dup).write.parquet(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    run_stream_dedup_to_memory(spark, src, schema, ["event_id"], table_name="dd")
+    stream_keys = {r.event_id for r in spark.table("dd").select("event_id").collect()}
+    stream_n = spark.table("dd").count()
+    batch = dedup_events(spark.read.parquet(src), ["event_id"])
+    batch_keys = {r.event_id for r in batch.select("event_id").collect()}
+    assert stream_keys == batch_keys
+    assert stream_n == len(batch_keys)  # every duplicate dropped exactly once
 
 
 # --------------------------------------------------------- merge upsert S6
