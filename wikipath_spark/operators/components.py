@@ -98,14 +98,17 @@ def connected_components(
     # sf0.1 with it disabled), so the loop runs under normal session confs.
     for i in range(start_round, max_iter):
         ls = _large_star(e)
-        # large-star output is asymmetric (child→parent); symmetrize for
-        # the next neighborhood computation
-        sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # large-star output is asymmetric (child→parent); symmetrize for the
+        # next neighborhood computation.  No distinct needed: every ls row
+        # has v < u strictly (v = min(N(u) ∪ u) and self-loops are filtered),
+        # so the swapped orientation can never collide with the original and
+        # ls itself is already distinct — same for the small-star output
+        # below.  Each removed distinct was a full shuffle per round.
+        sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
         ss = _small_star(sym)
         obs = Observation(f"cc_{i}")
         new_e = (
             ss.union(ss.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
