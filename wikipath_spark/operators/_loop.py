@@ -16,7 +16,13 @@ from pyspark.sql import SparkSession
 
 
 @contextmanager
-def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition: int = 500_000):
+def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition: int = 100_000):
+    # rows_per_partition: measured sweet spot at local bench scale — 500k
+    # left most cores idle on sub-million-edge graphs (397k edges → 2 tasks:
+    # 117 ss/min; 100k → 4 tasks: 148 ss/min; 25k: no further gain).  Large
+    # graphs are unaffected: the session's shuffle-partition conf caps the
+    # count, so at cluster scale partitioning still tracks the configured
+    # parallelism.
     """Disable AQE + auto-broadcast and (optionally) right-size shuffle
     partitions for the loop body; restores prior values on exit (try/finally —
     an exception mid-loop must not leak de-optimized confs into the session).
