@@ -57,6 +57,31 @@ def test_map_side_partial_aggregation(spark):
     assert "partial_sum" in plan and "Exchange" in plan
 
 
+def test_lsh_bucket_is_codegen_flat(spark):
+    """Hyperplane buckets must be flat scalar expressions — no interpreted
+    higher-order array lambdas in the bucket derivation (measured 5-10×)."""
+    from wikipath_spark.operators.similarity import add_lsh_bucket
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(add_lsh_bucket(emb, "embedding", planes=4).select("bucket"))
+    assert "lambdafunction" not in plan.lower()
+    assert "[codegen id :" in plan  # the projection runs inside codegen
+
+
+def test_minhash_signatures_single_arrow_eval(spark):
+    """The Arrow signature kernel crosses to Python exactly once."""
+    df = entrymod.q_minhash_signatures(spark, SF)
+    plan = _plan(df)
+    # one physical node: the detail section prints "ArrowEvalPython (<id>)"
+    assert plan.count("ArrowEvalPython (") == 1
+
+
+def test_simhash_stays_jvm_side(spark):
+    """SimHash fingerprints are pure JVM — no Python in the hot path."""
+    plan = _plan(entrymod.q_simhash(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_ci_equal(spark):
     df = spark.createDataFrame(
         [("Álvarez", "alvarez", True), ("École", "ecole", True), ("abc", "abd", False)],
