@@ -229,12 +229,25 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sets_, jaccard_threshold)
 
 
-def _verify_jaccard(pairs: DataFrame, sets_: DataFrame, threshold: float) -> DataFrame:
+def _verify_jaccard(
+    pairs: DataFrame,
+    sets_: DataFrame,
+    threshold: float,
+    broadcast_limit: int = 500_000,
+) -> DataFrame:
     """Exact Jaccard of candidate pairs over per-row shingle-SET arrays:
     two equi-joins attach each side's array, ``array_intersect`` sizes the
     overlap JVM-side.  Same bytes moved as the exploded equi-join
     formulation (set contents travel either way) but |pairs| rows instead of
-    |pairs|·|shingles| — and the set frame broadcasts when small."""
+    |pairs|·|shingles|.
+
+    Catalyst's size estimate for array columns blocks auto-broadcast even
+    when the set frame is a few MB, which would shuffle every candidate row
+    carrying both full arrays (measured ~2× query cost) — so up to
+    ``broadcast_limit`` documents the set frame is broadcast explicitly; at
+    corpus scale the joins fall back to shuffle, proportional to candidates."""
+    if sets_.count() <= broadcast_limit:
+        sets_ = F.broadcast(sets_)
     a = sets_.select(F.col("id").alias("id_a"), F.col("shset").alias("_sa"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("shset").alias("_sb"))
     return (
