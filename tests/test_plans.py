@@ -82,6 +82,14 @@ def test_simhash_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_exact_topk_is_one_broadcast_pass(spark):
+    """Exact cosine top-k must be a broadcast nested-loop pass (build the
+    small side, stream the other) — never a shuffle of |Q|x|C| pairs."""
+    plan = _plan(entrymod.q_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ShuffleExchange" not in plan.split("BroadcastNestedLoopJoin")[0]
+
+
 def test_ci_equal(spark):
     df = spark.createDataFrame(
         [("Álvarez", "alvarez", True), ("École", "ecole", True), ("abc", "abd", False)],

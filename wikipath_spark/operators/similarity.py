@@ -64,8 +64,12 @@ def cosine_topk(
     """Exact top-k cosine neighbors per query: (query_id, neighbor_id, cosine, rank).
 
     ``queries`` is a subset of ``embeddings`` (same schema); self-matches are
-    excluded.  Brute force = one broadcast-able join of queries × corpus.
-    """
+    excluded.  Exact top-k inherently computes |Q|·|C| cosines; the physical
+    plan is ONE broadcast nested-loop pass (Catalyst builds the smaller side
+    — the query set at scale) streaming the corpus, no shuffle: the optimal
+    exact plan, and the correctness baseline for the approximate paths
+    (``cosine_topk_lsh``, ``ivf_topk``), which shrink the candidate set
+    instead."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("emb_a")
     ).withColumn("na", _norm(F.col("emb_a")))
