@@ -8,12 +8,12 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 33 of 35 queries are oracled — the synthetic-graph ones by
+                 36 of 37 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
-                 inside DuckDB (see ``_graph_oracle_edges``); only the two
-                 floating-point/iterative-tie-break queries
-                 (``graph_pagerank``, ``graph_labels``) are rows-only, each
-                 verified by an independent non-SQL oracle in tests.
+                 inside DuckDB (see ``_graph_oracle_edges``); only
+                 ``graph_pagerank`` (floating-point power iteration) is
+                 rows-only, verified instead by an independent numpy oracle
+                 plus cross-parallelism bit-determinism in tests.
 """
 
 from __future__ import annotations
@@ -60,6 +60,7 @@ from wikipath_spark.operators.similarity import (
 )
 from wikipath_spark.operators.triangles import triangle_count, triangles_per_vertex
 from wikipath_spark.plans.build import build_graph
+from wikipath_spark.plans.curate import curate_corpus
 from wikipath_spark.sources.synthetic import synthetic_repos
 from wikipath_spark.streaming.events import windowed_event_counts
 
@@ -322,6 +323,15 @@ def q_events_windowed(spark, sf):
     return windowed_event_counts(_t(spark, sf, "events"))
 
 
+def q_curated_corpus(spark, sf):  # composed pipeline: gate → dedup → near-dup prune
+    return curate_corpus(
+        _t(spark, sf, "documents"),
+        languages=("en",),
+        min_quality=0.3,
+        near_dup_threshold=0.8,
+    )
+
+
 def q_media_features(spark, sf):
     feats = extract_media_features(documents_as_media(_t(spark, sf, "documents")))
     return feats.select("media_id", "kind", "n_bytes", "content_sha256", "feature_hash")
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "curated_corpus": q_curated_corpus,
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
@@ -907,6 +918,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # composed curation pipeline: gate → exact dedup (min-id keeper) →
+        # near-dup prune (drop the larger id of every exact-Jaccard ≥ 0.8
+        # pair among the gated+deduped survivors)
+        "curated_corpus": f"""
+            WITH scored AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(lower(text), '{_STOP}')) AS stop_n,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tc,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_n,
+                       length(text) AS n,
+                       {lang_counts}
+                FROM documents
+            ), base AS (
+                SELECT doc_id, text,
+                       {_LANG_CASE} AS lang_guess,
+                       round(0.4 * least(n / 500.0, 1.0)
+                           + 0.3 * (1.0 - least(coalesce(punct_n / n, 0) * 5, 1.0))
+                           + 0.3 * least(coalesce(stop_n / tc, 0) * 4, 1.0), 6) AS quality
+                FROM scored
+            ), gated AS (
+                SELECT * FROM base WHERE lang_guess IN ('en') AND quality >= 0.3
+            ), keeper AS (
+                SELECT text, min(doc_id) AS doc_id FROM gated GROUP BY text
+            ), uniq AS (
+                SELECT g.* FROM gated g JOIN keeper k USING (text, doc_id)
+            ), sh AS (
+                SELECT DISTINCT u.doc_id AS id, s.sh
+                FROM uniq u,
+                     UNNEST([substr(lower(u.text), g, 4) FOR g IN range(1, length(u.text) - 2)]) AS s(sh)
+            ), sizes AS (
+                SELECT id, count(*) AS sz FROM sh GROUP BY id
+            ), inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), dropped AS (
+                SELECT DISTINCT i.id_b AS doc_id
+                FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
+                WHERE round(i.i / (za.sz + zb.sz - i.i), 6) >= 0.8
+            )
+            SELECT u.doc_id, u.lang_guess, u.quality
+            FROM uniq u WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = u.doc_id)
         """,
         "media_features": """
             SELECT doc_id AS media_id,
