@@ -1,0 +1,128 @@
+"""Round-3 regression tests: ADVICE r2 fixes (invalid PPJoin candidate
+bound, nondeterministic batch dedup keeper, spurious CC warning, merge
+crash-safety + counters) and the triangles checkpoint-regression revert."""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikipath_spark.operators.components import connected_components
+from wikipath_spark.operators.dedup import ngram_jaccard_pairs
+from wikipath_spark.sources.tables import merge_upsert
+from wikipath_spark.streaming.dedup import dedup_events
+
+
+def test_ngram_jaccard_keeps_prefix_suffix_straddling_pair(spark):
+    # ADVICE r2 (high): a shared shingle can lie in one doc's prefix but the
+    # other's suffix; the old ip-based upper bound dropped this true pair.
+    # J('bcdefghijk', 'abcdefghijk') with n=1 is 10/11 ≈ 0.909 >= 0.8.
+    docs = spark.createDataFrame(
+        [(1, "bcdefghijk"), (2, "abcdefghijk")], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(docs, n=1, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.jaccard == pytest.approx(round(10 / 11, 6))
+
+
+def test_ngram_jaccard_still_exact_vs_bruteforce(spark):
+    # randomized-ish corpus with overlapping windows: prefix-filtered result
+    # must equal the brute-force all-pairs answer exactly
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(i, base[i : i + 40]) for i in range(12)] + [(100, base), (101, base[1:])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.4).collect()
+    }
+
+    # brute force on the driver
+    def shset(t):
+        t = t.lower()
+        return {t[i : i + 3] for i in range(len(t) - 2)}
+
+    want = set()
+    for i, (ia, ta) in enumerate(docs):
+        for ib, tb in docs[i + 1 :]:
+            a, b = shset(ta), shset(tb)
+            inter = len(a & b)
+            j = round(inter / (len(a) + len(b) - inter), 6)
+            if j >= 0.4:
+                lo, hi = min(ia, ib), max(ia, ib)
+                want.add((lo, hi, j))
+    assert got == want
+
+
+def test_dedup_events_keeps_min_timestamp_row(spark):
+    rows = [
+        ("k1", "2024-01-01 10:00:00", "late"),
+        ("k1", "2024-01-01 09:00:00", "early"),
+        ("k2", "2024-01-01 08:00:00", "only"),
+        ("k1", "2024-01-01 09:00:00", "early-dup"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, tag string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    # determinism across parallelism: same answer from 1 and 8 partitions
+    for parts in (1, 8):
+        got = {
+            (r.k, r.tag)
+            for r in dedup_events(df.repartition(parts), ["k"]).collect()
+        }
+        # min struct tie-break: ('early' < 'early-dup') lexicographically
+        assert got == {("k1", "early"), ("k2", "only")}
+
+
+def test_cc_no_warning_when_loop_never_runs(spark, edges_df):
+    e = edges_df([(1, 2), (2, 3)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        connected_components(e, max_iter=0)
+
+
+def test_merge_upsert_duplicate_update_keys_counts(spark, tmp_path):
+    base = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(os.path.join(base, "t.parquet"))
+    # updates: key 1 twice (matched once), key 9 twice (inserted once)
+    updates = spark.createDataFrame(
+        [(1, "a2"), (1, "a3"), (9, "z"), (9, "z2")], "k long, v string"
+    )
+    stats = merge_upsert(spark, base, "t", updates, ["k"])
+    assert stats == {"matched": 1, "inserted": 1, "deleted": 0}
+
+
+def test_merge_upsert_recovers_from_crash_between_renames(spark, tmp_path):
+    base = str(tmp_path)
+    target = os.path.join(base, "t.parquet")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(target)
+    # simulate a crash after `os.rename(target, bak)` but before the second
+    # rename: no table at the target path, previous version in .merge-old
+    os.rename(target, target + ".merge-old")
+    updates = spark.createDataFrame([(2, "b")], "k long, v string")
+    stats = merge_upsert(spark, base, "t", updates, ["k"])
+    assert stats == {"matched": 0, "inserted": 1, "deleted": 0}
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert not os.path.exists(target + ".merge-old")
+
+
+def test_merge_upsert_cleans_stale_backup(spark, tmp_path):
+    base = str(tmp_path)
+    target = os.path.join(base, "t.parquet")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(target)
+    # simulate a crash after the second rename but before backup cleanup:
+    # live target AND a stale .merge-old
+    spark.createDataFrame([(7, "old")], "k long, v string").write.parquet(
+        target + ".merge-old"
+    )
+    merge_upsert(spark, base, "t", spark.createDataFrame([(2, "b")], "k long, v string"), ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert not os.path.exists(target + ".merge-old")

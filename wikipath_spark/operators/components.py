@@ -127,10 +127,13 @@ def connected_components(
         if converged:
             break
         prev_sig = sig
-    if not converged:
+    if not converged and max_iter > start_round:
         # the alternating algorithm converges in O(log² n) rounds — exhausting
         # max_iter means the star forest is NOT a fixpoint and the extraction
-        # below may split true components; never return that silently
+        # below may split true components; never return that silently.
+        # (guarded like label_propagation's: when the loop body never ran —
+        # resume at start_round >= max_iter, or max_iter=0 — there is no
+        # fixpoint *failure* to report)
         warnings.warn(
             f"connected_components: no fixpoint after {max_iter} rounds; "
             "components may be over-split (raise max_iter)",

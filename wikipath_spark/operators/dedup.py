@@ -288,7 +288,11 @@ def ngram_jaccard_pairs(
     from pair generation (recall guard OFF by default — with it set, a pair
     whose every prefix-shared shingle is capped can be missed).
     """
-    sh = shingles(df, id_col, text_col, n).persist()
+    # eager localCheckpoint, not persist(): three downstream scans (sizes,
+    # dfreq, ranked) read the materialized RDD, and the checkpoint is
+    # GC-reclaimed with the frame — a bare persist() here outlives the query
+    # and accumulates in long-lived sessions
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
     w = Window.partitionBy("id").orderBy("df_", "sh")
@@ -313,21 +317,18 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("ip"))
     )
-    # exact upper bound on the full intersection: at most the whole non-prefix
-    # suffix of the smaller side can be shared beyond the prefix overlap, so
-    # ub >= true inter and no J >= t pair is dropped before the exact verify
-    plen = lambda sz: sz - F.ceil(F.lit(threshold) * sz) + 1  # noqa: E731
+    # size-only candidate filter: J(A,B) = i/(|A|+|B|-i) is monotone in i and
+    # i <= min(|A|,|B|), so J <= min/(|A|+|B|-min) — a valid upper bound that
+    # never drops a qualifying pair.  (A tighter ip-based bound is NOT valid
+    # here: a shared shingle may sit in one doc's prefix but the other's
+    # suffix, so ip under-counts the prefix-region intersection and any
+    # "ip + suffix headroom" cap can reject true pairs — the completeness
+    # guarantee of the prefix lemma covers pair *generation* only.)
+    mn = F.least(F.col("sz_a"), F.col("sz_b"))
     cand = (
         ip.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "ub_i",
-            F.col("ip")
-            + F.least(
-                F.col("sz_a") - plen(F.col("sz_a")), F.col("sz_b") - plen(F.col("sz_b"))
-            ),
-        )
-        .filter(F.col("ub_i") / (F.col("sz_a") + F.col("sz_b") - F.col("ub_i")) >= threshold)
+        .filter(mn / (F.col("sz_a") + F.col("sz_b") - mn) >= threshold)
         .select("id_a", "id_b")
     )
     return _verify_jaccard(cand, _shingle_sets(df, id_col, text_col, n), threshold)
@@ -390,9 +391,10 @@ def simhash_pairs(
     """Near-duplicate pairs by SimHash: banded bucketing (a pair within
     Hamming distance < bands must agree on ≥1 band — pigeonhole), then exact
     ``bit_count(xor)`` verification.  Returns (id_a, id_b, hamming)."""
-    # persist: both sides of the bucket self-join scan the fingerprints —
-    # without it the (tokenize + md5 + 60-bit vote fold) runs twice
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    # eager localCheckpoint: both sides of the bucket self-join scan the
+    # fingerprints — without materialization the (tokenize + md5 + 60-bit
+    # vote fold) runs twice; checkpoint (vs persist) is GC-reclaimed
+    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     width = 60 // bands
     mask = (1 << width) - 1
     band_cols = [

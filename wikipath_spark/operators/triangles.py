@@ -19,15 +19,18 @@ from pyspark.sql import functions as F
 
 
 def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    # materialized once: the degree aggregation and the degree-attach joins
-    # each scan this frame, and the caller's edge derivation (e.g. a
-    # self-join building co-occurrence pairs) must not re-run per scan
+    # NO materialization barrier here: the symmetric frame is scanned by the
+    # degree aggregation and both degree-attach joins, but Spark's
+    # shuffle-exchange reuse already dedupes those scans inside the caller's
+    # single action — an eager localCheckpoint at this point forces a full
+    # extra materialization AND blocks exchange reuse / AQE across the
+    # boundary (A/B measured at sf0.1: checkpoint 8.5/5.2s, lazy persist
+    # 5.3/3.1s, neither 3.1/2.8s — the round-2 regression)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
     with_deg = (

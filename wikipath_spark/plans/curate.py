@@ -49,7 +49,10 @@ def curate_corpus(
     )
     # exact dedup: keep the minimum id per identical text
     keeper = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    unique = gated.join(keeper, ["text", "doc_id"], "left_semi").persist()
+    # eager localCheckpoint (GC-reclaimed), not persist(): scanned by the
+    # near-dup pair generation AND the final anti-join; a bare persist()
+    # would leak cache across repeated calls in a long-lived session
+    unique = gated.join(keeper, ["text", "doc_id"], "left_semi").localCheckpoint(eager=True)
 
     # near-dup pruning: drop the LARGER id of every qualifying pair
     pairs = ngram_jaccard_pairs(

@@ -109,20 +109,35 @@ def merge_upsert(
         return {}
 
     target_path = os.path.join(base, f"{name}.parquet")
+    bak = target_path + ".merge-old"
+    # crash recovery: a previous merge can die between its two renames.
+    # If the backup exists alongside a live target, the swap completed and
+    # only cleanup was missed; if the backup exists and the target does NOT,
+    # the crash hit the rename gap — restore the previous version first.
+    if os.path.exists(bak):
+        if os.path.exists(target_path):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, target_path)
     current = spark.read.parquet(target_path)
-    matched = current.join(updates.select(*key_cols), key_cols, "left_semi")
-    kept = current.join(updates.select(*key_cols), key_cols, "left_anti")
-    n_matched = matched.count()
-    n_inserted = updates.count() - n_matched
+    # counters over DISTINCT update keys: duplicate keys in `updates` (or a
+    # key matching several target rows) must not inflate matched/inserted
+    ukeys = updates.select(*key_cols).distinct().persist()
+    n_ukeys = ukeys.count()
+    n_matched = current.join(ukeys, key_cols, "left_semi").select(*key_cols).distinct().count()
+    n_inserted = n_ukeys - n_matched
+    kept = current.join(ukeys, key_cols, "left_anti")
     n_deleted = kept.count() if delete_missing else 0
     merged = updates.select(*current.columns)
     if not delete_missing:
         merged = kept.select(*current.columns).unionByName(merged)
-    # atomic swap: the new table is fully written before the old one is
-    # replaced — a crash mid-merge leaves the previous version intact
+    # atomic-enough swap for a filesystem sink: the new table is fully
+    # written to a temp dir before any rename; the only vulnerable window is
+    # between the two renames below, and the recovery block above restores
+    # the backup on the next call, so no crash point loses the table
     tmp = target_path + ".merge-tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    bak = target_path + ".merge-old"
+    ukeys.unpersist()
     os.rename(target_path, bak)
     os.rename(tmp, target_path)
     shutil.rmtree(bak)

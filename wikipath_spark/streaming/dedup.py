@@ -24,9 +24,18 @@ def with_content_key(df: DataFrame, text_col: str = "text", out: str = "content_
 
 
 def dedup_events(df: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
-    """Batch semantics twin: first row per key wins (minimum timestamp,
-    ties broken arbitrarily — streams make no intra-key order promise)."""
-    return df.dropDuplicates(key_cols)
+    """Batch semantics twin: first row per key wins — the MINIMUM ``ts_col``
+    row, ties broken by the full remaining row (min struct).  Deterministic
+    across parallelism levels, unlike ``dropDuplicates`` (which keeps an
+    arbitrary partition-order-dependent row)."""
+    other = [c for c in df.columns if c != ts_col]
+    keeper = F.min(F.struct(F.col(ts_col), *[F.col(c) for c in other])).alias("_k")
+    return (
+        df.groupBy(*key_cols)
+        .agg(keeper)
+        .select(*key_cols, *[F.col(f"_k.{c}") for c in [ts_col] + other if c not in key_cols])
+        .select(*df.columns)
+    )
 
 
 def stream_dedup(
