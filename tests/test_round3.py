@@ -58,6 +58,36 @@ def test_ngram_jaccard_still_exact_vs_bruteforce(spark):
     assert got == want
 
 
+def _plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_verify_jaccard_broadcast_gated_by_bytes(spark):
+    # VERDICT r2 #4: the broadcast decision must key on estimated BYTES, not
+    # row count — few rows with huge arrays must choose the shuffle join.
+    from wikipath_spark.operators.dedup import _verify_jaccard
+
+    sets_ = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [11, 12, 13])], "id long, shset array<long>"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    # est_bytes above the limit -> no broadcast hash join anywhere
+    shuffled = _verify_jaccard(pairs, sets_, 0.3, est_bytes=1 << 40)
+    assert "BroadcastHashJoin" not in _plan(shuffled)
+    # and below the limit -> broadcast joins
+    bcast = _verify_jaccard(pairs, sets_, 0.3, est_bytes=1024)
+    assert "BroadcastHashJoin" in _plan(bcast)
+    # both produce the same (exact) answer
+    assert [tuple(r) for r in shuffled.collect()] == [tuple(r) for r in bcast.collect()]
+    assert shuffled.collect()[0].jaccard == 0.5
+
+
 def test_dedup_events_keeps_min_timestamp_row(spark):
     rows = [
         ("k1", "2024-01-01 10:00:00", "late"),

@@ -19,7 +19,7 @@ posting-list-truncation trick.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -30,6 +30,20 @@ from wikipath_spark.functions.text import (
     minhash_perm,
     simhash60,
 )
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row work (shingling, hashing) across the cluster
+    when the input arrives under-partitioned — a small parquet reads as ONE
+    split, which would serialize every downstream md5/ngram on one core
+    (measured 6.8s → 0.9s for the shingle scan at sf0.1).  At scale inputs
+    already carry >= defaultParallelism splits and this is a no-op; the
+    repartition shuffle only ever moves a sub-split amount of data."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -169,6 +183,47 @@ def minhash_signatures(
     return _signatures_inline(df, id_col, text_col, k, n)
 
 
+def _sig_and_hashed_sets_pandas(
+    df: DataFrame, id_col: str, text_col: str, k: int, n: int
+) -> DataFrame:
+    """(id, _sig array<long>, shset array<long>) in ONE Arrow pass: the
+    minhash kernel of :func:`_signatures_pandas` already md5s every distinct
+    shingle — this variant additionally emits those 8-byte md5 prefixes as an
+    int64 set, so LSH verification can intersect fixed-width longs instead of
+    re-deriving (and shipping) string shingle arrays.  64-bit hashing is
+    collision-safe for Jaccard purposes: two distinct shingles of one
+    document pair colliding has probability ~|set|²/2^64 ≈ 1e-14."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from wikipath_spark.functions.text import MINHASH_P31, minhash_perm_consts
+
+    consts = [minhash_perm_consts(i) for i in range(k)]
+    A = np.array([c[0] for c in consts], dtype=np.int64)[:, None]
+    B = np.array([c[1] for c in consts], dtype=np.int64)[:, None]
+    I = np.arange(k, dtype=np.int64)[:, None]
+
+    def batch(texts):  # unannotated on purpose (see _signatures_pandas)
+        out_sig, out_sh = [], []
+        md5 = hashlib.md5
+        for t in texts:
+            t = t.lower()
+            shs = {t[i : i + n] for i in range(len(t) - n + 1)}
+            raw = b"".join(md5(s.encode()).digest()[:8] for s in shs)
+            hs = np.frombuffer(raw, dtype=">u4").reshape(-1, 2).astype(np.int64)
+            h1, h2 = hs[:, 0] & MINHASH_MASK30, hs[:, 1] & MINHASH_MASK30
+            out_sig.append(((A * h1 + B * h2 + I) % MINHASH_P31).min(axis=1).tolist())
+            out_sh.append(np.frombuffer(raw, dtype=">i8").tolist())
+        return pd.DataFrame({"_sig": out_sig, "shset": out_sh})
+
+    udf = F.pandas_udf(batch, returnType="_sig array<long>, shset array<long>")
+    return df.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("_k")
+    ).select("id", F.col("_k._sig").alias("_sig"), F.col("_k.shset").alias("shset"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -189,12 +244,26 @@ def minhash_lsh_pairs(
     posting-truncation guard against quadratic blowup when a vocabulary-dense
     corpus collides whole clusters into one band bucket.  Raise rows-per-band
     (k/bands) rather than max_bucket to reduce collisions without recall loss.
+
+    Physical plan (measured 18.9s → ~7s at sf0.1): ONE Arrow pass produces
+    signatures AND int64-hashed shingle sets, eagerly checkpointed with a
+    byte-count observation riding the same job; buckets persist only until
+    the candidate frame is materialized; candidates are re-fanned-out before
+    verification (the distinct's AQE-coalesced output otherwise runs every
+    array_intersect on two cores).
     """
     rows = k // bands
-    # signatures from the shuffle-free Arrow kernel; verification reads the
-    # per-row shingle-set arrays — no exploded shingle frame anywhere
-    sets_ = _shingle_sets(df, id_col, text_col, n)
-    sig = _signatures_pandas(df, id_col, text_col, k, n)
+    obs = Observation()
+    base = (
+        _sig_and_hashed_sets_pandas(_fan_out(df), id_col, text_col, k, n)
+        .observe(obs, F.sum(F.size("shset")).alias("total_sh"))
+        .localCheckpoint(eager=True)
+    )
+    # estimated in-memory bytes of the set frame, from the SAME job that
+    # materialized it (no extra action): int64 elements + unsafe-row overhead
+    est_bytes = int(obs.get["total_sh"] or 0) * 16
+    sets_ = base.select("id", "shset")
+    sig = base.select("id", *[F.col("_sig").getItem(i).alias(f"m{i}") for i in range(k)])
     band_keys = [
         F.struct(
             F.lit(b).alias("band"),
@@ -218,22 +287,28 @@ def minhash_lsh_pairs(
         .filter(F.col("bsz") <= max_bucket)
         .select("band", "key")
     )
-    buckets = buckets.join(ok, ["band", "key"], "left_semi")
+    bkt = buckets.join(ok, ["band", "key"], "left_semi")
     cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["band", "key"])
+        bkt.alias("a")
+        .join(bkt.alias("b"), ["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # fan back out: AQE coalesces the small distinct output to 1-2
+        # partitions, which would serialize the per-pair intersect work
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
-    return _verify_jaccard(cand, sets_, jaccard_threshold)
+    buckets.unpersist()  # candidates are materialized; nothing rescans buckets
+    return _verify_jaccard(cand, sets_, jaccard_threshold, est_bytes=est_bytes)
 
 
 def _verify_jaccard(
     pairs: DataFrame,
     sets_: DataFrame,
     threshold: float,
-    broadcast_limit: int = 500_000,
+    est_bytes: int | None = None,
+    broadcast_bytes_limit: int = 256 << 20,
 ) -> DataFrame:
     """Exact Jaccard of candidate pairs over per-row shingle-SET arrays:
     two equi-joins attach each side's array, ``array_intersect`` sizes the
@@ -243,13 +318,20 @@ def _verify_jaccard(
 
     Catalyst's size estimate for array columns blocks auto-broadcast even
     when the set frame is a few MB, which would shuffle every candidate row
-    carrying both full arrays (measured ~2× query cost) — so up to
-    ``broadcast_limit`` documents the set frame is broadcast explicitly; at
-    corpus scale the joins fall back to shuffle, proportional to candidates."""
-    if sets_.count() <= broadcast_limit:
-        sets_ = F.broadcast(sets_)
+    carrying both full arrays (measured ~2× query cost) — so the set frame
+    is broadcast explicitly when its ESTIMATED BYTES (``est_bytes``, e.g.
+    from an observe on the materializing pass — row counts are byte-blind
+    for variable-width arrays) fit ``broadcast_bytes_limit``; above that the
+    joins fall back to shuffle, proportional to candidates."""
+    if est_bytes is None:
+        # one cheap aggregate over the (usually checkpointed) set frame
+        est_bytes = (
+            sets_.agg(F.sum(F.size("shset") * 16).alias("b")).collect()[0]["b"] or 0
+        )
     a = sets_.select(F.col("id").alias("id_a"), F.col("shset").alias("_sa"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("shset").alias("_sb"))
+    if est_bytes <= broadcast_bytes_limit:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -262,6 +344,32 @@ def _verify_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hashed_sets_pandas(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shset array<long>): the document's distinct shingles as 8-byte
+    md5-prefix int64s — the fixed-width twin of :func:`_shingle_sets` for
+    verification (array_intersect over longs measured ~25× faster than over
+    the string arrays; collision odds per pair ~|set|²/2^64, negligible)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def batch(texts):  # unannotated on purpose (see _signatures_pandas)
+        out = []
+        md5 = hashlib.md5
+        for t in texts:
+            t = t.lower()
+            shs = {t[i : i + n] for i in range(len(t) - n + 1)}
+            raw = b"".join(md5(s.encode()).digest()[:8] for s in shs)
+            out.append(np.frombuffer(raw, dtype=">i8").tolist())
+        return pd.Series(out)
+
+    udf = F.pandas_udf(batch, returnType="array<long>")
+    return df.filter(F.length(F.col(text_col)) >= n).select(
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("shset")
     )
 
 
@@ -284,15 +392,30 @@ def ngram_jaccard_pairs(
     355s → seconds at sf0.1 on a near-dup-clustered corpus).  Survivors get
     an exact full-set verify; the result is every pair with J ≥ threshold.
 
+    Candidate pruning before the verify uses PPJoin's POSITIONAL filter in
+    aggregate form.  Validity: each doc's prefix is downward-closed in the
+    global order (it holds the doc's smallest-ordered tokens), so for
+    t* = the largest-ordered token matched in both prefixes, every shared
+    token ≤ t* is already counted in ip, and every shared token > t* sits
+    after rank(t*) in both docs — hence
+    overlap ≤ ip + min(sz_a - rk_a(t*), sz_b - rk_b(t*)).
+    (The round-2 bound ip + min(suffix_a, suffix_b) was INVALID — a shared
+    token can straddle one prefix and the other suffix; see ADVICE r2.)
+
     ``max_posting`` optionally drops prefix shingles with df above the cap
     from pair generation (recall guard OFF by default — with it set, a pair
     whose every prefix-shared shingle is capped can be missed).
     """
+    df = _fan_out(df)
+    spark = df.sparkSession
     # eager localCheckpoint, not persist(): three downstream scans (sizes,
     # dfreq, ranked) read the materialized RDD, and the checkpoint is
     # GC-reclaimed with the frame — a bare persist() here outlives the query
     # and accumulates in long-lived sessions
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # estimated set-frame bytes for the verify broadcast gate: one cheap
+    # count over the already-materialized RDD, 16 bytes per int64 element
+    est_bytes = sh.count() * 16
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
     w = Window.partitionBy("id").orderBy("df_", "sh")
@@ -306,32 +429,44 @@ def ngram_jaccard_pairs(
     )
     if max_posting is not None:
         prefix = prefix.filter(F.col("df_") <= max_posting)
-    prefix = prefix.select("id", "sh")
+    prefix = prefix.select("id", "sh", "df_", F.col("_rk").alias("rk"), "sz")
     # ONE heavy pass: the prefix self-join feeds a partially-aggregating
     # groupBy directly (map-side combine collapses per-pair duplicates before
-    # the shuffle) instead of (distinct pairs → verification re-joins)
+    # the shuffle) instead of (distinct pairs → verification re-joins).
+    # Alongside ip, the rank-in-doc position of the LAST (largest-ordered)
+    # matched token is simply max(rk): within one doc, rank order IS the
+    # global order restricted to the doc's tokens, so argmax(rank) over the
+    # matched set = the globally largest matched token t* on both sides —
+    # a plain integer max, no order-struct comparison per row.
     ip = (
         prefix.alias("a")
         .join(prefix.alias("b"), "sh")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("ip"))
+        .agg(
+            F.count("*").alias("ip"),
+            F.max(F.col("a.rk")).alias("rka"),
+            F.max(F.col("b.rk")).alias("rkb"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
     )
-    # size-only candidate filter: J(A,B) = i/(|A|+|B|-i) is monotone in i and
-    # i <= min(|A|,|B|), so J <= min/(|A|+|B|-min) — a valid upper bound that
-    # never drops a qualifying pair.  (A tighter ip-based bound is NOT valid
-    # here: a shared shingle may sit in one doc's prefix but the other's
-    # suffix, so ip under-counts the prefix-region intersection and any
-    # "ip + suffix headroom" cap can reject true pairs — the completeness
-    # guarantee of the prefix lemma covers pair *generation* only.)
-    mn = F.least(F.col("sz_a"), F.col("sz_b"))
+    # positional upper bound (validity argued above), clamped by the
+    # size-only bound i <= min(|A|,|B|); both are exact upper bounds, so no
+    # qualifying pair is dropped before the exact verify
+    ub = F.least(
+        F.col("ip") + F.least(F.col("sz_a") - F.col("rka"), F.col("sz_b") - F.col("rkb")),
+        F.least(F.col("sz_a"), F.col("sz_b")),
+    )
     cand = (
-        ip.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .filter(mn / (F.col("sz_a") + F.col("sz_b") - mn) >= threshold)
+        ip.filter(ub / (F.col("sz_a") + F.col("sz_b") - ub) >= threshold)
         .select("id_a", "id_b")
+        # spread the per-pair intersect work (AQE coalesces small outputs)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    return _verify_jaccard(cand, _shingle_sets(df, id_col, text_col, n), threshold)
+    return _verify_jaccard(
+        cand, _hashed_sets_pandas(df, id_col, text_col, n), threshold, est_bytes=est_bytes
+    )
 
 
 def simhash_fingerprints(
@@ -394,7 +529,7 @@ def simhash_pairs(
     # eager localCheckpoint: both sides of the bucket self-join scan the
     # fingerprints — without materialization the (tokenize + md5 + 60-bit
     # vote fold) runs twice; checkpoint (vs persist) is GC-reclaimed
-    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
+    fp = simhash_fingerprints(_fan_out(df), id_col, text_col).localCheckpoint(eager=True)
     width = 60 // bands
     mask = (1 << width) - 1
     band_cols = [
