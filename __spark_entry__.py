@@ -8,12 +8,15 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 36 of 37 queries are oracled — the synthetic-graph ones by
+                 37 of 38 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
                  rows-only, verified instead by an independent numpy oracle
-                 plus cross-parallelism bit-determinism in tests.
+                 plus cross-parallelism bit-determinism in tests AND by its
+                 hash-exact integer twin ``graph_pagerank_fixed`` (scaled
+                 int64 ranks, truncating division, fixed rounds — every term
+                 portable to DuckDB).
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ from wikipath_spark.operators.dedup import (
     simhash_pairs,
 )
 from wikipath_spark.operators.labelprop import label_propagation
-from wikipath_spark.operators.pagerank import pagerank
+from wikipath_spark.operators.pagerank import pagerank, pagerank_fixedpoint
 from wikipath_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
@@ -414,6 +417,36 @@ def q_graph_pagerank(spark, sf):  # rows-only: floating-point power iteration
     return res.ranks.select("page_id", F.round("rank", 8).alias("rank"))
 
 
+_PRF_ITERS = 5
+_PRF_SCALE = 10**12
+
+
+def _graph_vkey_edges(g):
+    """g.edges relabeled to the portable vertex key (see q_graph_labels)."""
+    keyed = _keyed_pages(g)
+    return (
+        g.edges.join(
+            keyed.select(F.col("page_id").alias("src"), F.col("vkey").alias("_vs")), "src"
+        )
+        .join(keyed.select(F.col("page_id").alias("dst"), F.col("vkey").alias("_vd")), "dst")
+        .select(F.col("_vs").alias("src"), F.col("_vd").alias("dst"))
+    )
+
+
+def q_graph_pagerank_fixed(spark, sf):
+    """Fixed-point integer PageRank on the vkey-relabeled synthetic graph:
+    exact int64 arithmetic and a fixed iteration count make the result
+    hash-portable to DuckDB (integer sums commute; div truncates), closing
+    the float kernel's unavoidable rows-only gap.  Same damping (85/100) and
+    dangling-redistribution structure as the float engine path."""
+    g = _synthetic_graph(spark)
+    verts = _keyed_pages(g).select(F.col("vkey").alias("page_id"))
+    out = pagerank_fixedpoint(
+        _graph_vkey_edges(g), vertices=verts, iters=_PRF_ITERS, scale=_PRF_SCALE
+    )
+    return out.select(F.col("page_id").alias("vkey"), "rank_fp")
+
+
 def q_graph_components(spark, sf):
     g = _synthetic_graph(spark)
     comp = connected_components(g.edges)
@@ -435,15 +468,7 @@ def q_graph_labels(spark, sf):
     convergence is safe because a stable labeling is a fixpoint of further
     rounds (idempotent once labels stop changing)."""
     g = _synthetic_graph(spark)
-    keyed = _keyed_pages(g)
-    vedges = (
-        g.edges.join(
-            keyed.select(F.col("page_id").alias("src"), F.col("vkey").alias("_vs")), "src"
-        )
-        .join(keyed.select(F.col("page_id").alias("dst"), F.col("vkey").alias("_vd")), "dst")
-        .select(F.col("_vs").alias("src"), F.col("_vd").alias("dst"))
-    )
-    return label_propagation(vedges, max_iter=_LPA_ROUNDS).select(
+    return label_propagation(_graph_vkey_edges(g), max_iter=_LPA_ROUNDS).select(
         F.col("page_id").alias("vkey"), "label"
     )
 
@@ -526,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_components": q_graph_components,
         "graph_labels": q_graph_labels,
         "graph_triangles": q_graph_triangles,
@@ -630,6 +656,42 @@ def _graph_labels_oracle() -> str:
         l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym),
         {','.join(rounds)}
         SELECT id AS vkey, CAST(label AS BIGINT) AS label FROM {prev}
+    """
+
+
+def _graph_pagerank_fixed_oracle() -> str:
+    """Unrolled fixed-point PageRank — the exact integer twin of
+    operators/pagerank.pagerank_fixedpoint, term for term: truncating
+    division (DuckDB ``//`` == Spark ``div`` on positive ints), commuting
+    integer sums, fixed {iters} rounds.  Runs on the regenerated stable-key
+    edge structure; CASTs pin every rank back to BIGINT (DuckDB widens sums
+    to HUGEINT)."""
+    n = _GRAPH_REPOS * 3 * _GRAPH_CLASSES
+    r0 = _PRF_SCALE // n
+    jump = (15 * _PRF_SCALE) // (100 * n)
+    parts = []
+    prev = "r0"
+    for k in range(1, _PRF_ITERS + 1):
+        parts.append(f"""
+            dm{k} AS (SELECT CAST(coalesce(sum(rank_fp), 0) AS BIGINT) AS v
+                      FROM {prev} WHERE id NOT IN (SELECT src FROM od)),
+            ms{k} AS (SELECT e.dst AS id, sum(r.rank_fp // od.c) AS m
+                      FROM vedges e JOIN {prev} r ON r.id = e.src
+                      JOIN od ON od.src = e.src
+                      GROUP BY e.dst),
+            r{k} AS (SELECT v.id,
+                            CAST({jump} + (85 * coalesce(ms.m, 0)) // 100
+                                 + (85 * ((SELECT v FROM dm{k}) // {n})) // 100
+                                 AS BIGINT) AS rank_fp
+                     FROM verts v LEFT JOIN ms{k} ms ON ms.id = v.id)""")
+        prev = f"r{k}"
+    return f"""
+        WITH RECURSIVE {_graph_oracle_edges()},
+        verts AS (SELECT ri*{3 * _GRAPH_CLASSES} + q*3 + r AS id FROM qs, langs, reposx),
+        od AS (SELECT src, count(*) AS c FROM vedges GROUP BY src),
+        r0 AS (SELECT id, CAST({r0} AS BIGINT) AS rank_fp FROM verts),
+        {','.join(parts)}
+        SELECT id AS vkey, rank_fp FROM {prev}
     """
 
 
@@ -1036,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
         """,
         "graph_labels": _graph_labels_oracle(),
+        "graph_pagerank_fixed": _graph_pagerank_fixed_oracle(),
         "graph_components": f"""
             WITH RECURSIVE {_graph_oracle_edges()},
             sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),

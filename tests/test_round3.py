@@ -88,6 +88,46 @@ def test_verify_jaccard_broadcast_gated_by_bytes(spark):
     assert shuffled.collect()[0].jaccard == 0.5
 
 
+def test_pagerank_fixedpoint_matches_python_ints(spark, edges_df):
+    # exact integer reference on the driver, same update rule
+    from wikipath_spark.operators.pagerank import pagerank_fixedpoint
+
+    el = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 has no edges
+    e = edges_df(el)
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "page_id long")
+    iters, scale = 4, 10**12
+    got = {
+        r.page_id: r.rank_fp
+        for r in pagerank_fixedpoint(e, vertices=verts, iters=iters, scale=scale).collect()
+    }
+
+    n = 5
+    out = {}
+    for s, d in el:
+        out[s] = out.get(s, 0) + 1
+    r = {v: scale // n for v in range(1, 6)}
+    jump = (15 * scale) // (100 * n)
+    for _ in range(iters):
+        dm = sum(r[v] for v in r if v not in out)
+        ms = {}
+        for s, d in el:
+            ms[d] = ms.get(d, 0) + r[s] // out[s]
+        r = {
+            v: jump + (85 * ms.get(v, 0)) // 100 + (85 * (dm // n)) // 100
+            for v in range(1, 6)
+        }
+    assert got == r
+
+    # bit-determinism across parallelism: identical ints at 1 and 8 partitions
+    got1 = {
+        x.page_id: x.rank_fp
+        for x in pagerank_fixedpoint(
+            e.repartition(1), vertices=verts, iters=iters, scale=scale
+        ).collect()
+    }
+    assert got1 == got
+
+
 def test_dedup_events_keeps_min_timestamp_row(spark):
     rows = [
         ("k1", "2024-01-01 10:00:00", "late"),

@@ -247,6 +247,95 @@ def _pagerank_loop(
     return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
 
 
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Bit-portable integer PageRank: rank mass as scaled int64, EXACT
+    integer arithmetic, fixed iteration count.
+
+    The float kernel (:func:`pagerank`) cannot be hash-compared across
+    engines (summation order changes the last ulps); this twin replaces
+    every float op with its integer analogue so any engine produces the
+    exact same bits — integer sums commute, truncating division is
+    deterministic:
+
+    - r0(v)   = scale div n
+    - contrib = r(src) div out_deg(src)                 (per edge)
+    - dm      = Σ r(v) over dangling v
+    - r'(v)   = ((den-num)·scale) div (den·n)
+                + (num·msum(v)) div den
+                + (num·(dm div n)) div den
+
+    Mirrored term-for-term by the DuckDB oracle in ``__spark_entry__``
+    (``graph_pagerank_fixed``), closing the one rows-only row from round 2.
+    Returns ``(page_id, rank_fp)``.  All values stay well inside int64:
+    total mass ≤ scale, per-term products ≤ num·scale.
+    """
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("page_id"))
+            .union(edges.select(F.col("dst").alias("page_id")))
+            .distinct()
+        )
+    vertices = vertices.select("page_id")
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank_fp", F.lit(0).cast("long"))
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    edges_od = (
+        edges.select("src", "dst").join(out_deg, "src").localCheckpoint(eager=True)
+    )
+    srcs = edges.select("src").distinct()
+    vflag = (
+        vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
+        .select("page_id", F.col("src").isNull().alias("is_dangling"))
+        .localCheckpoint(eager=True)
+    )
+    r0_val = scale // n
+    n_dangling = vflag.filter("is_dangling").count()
+    dm = r0_val * n_dangling
+    jump = ((damping_den - damping_num) * scale) // (damping_den * n)
+
+    ranks = vflag.select(
+        "page_id", F.lit(r0_val).cast("long").alias("rank_fp"), "is_dangling"
+    ).localCheckpoint(eager=True)
+    for it in range(1, iters + 1):
+        msgs = edges_od.join(ranks, edges_od["src"] == ranks["page_id"]).select(
+            "dst", F.expr("rank_fp div od").alias("c")
+        )
+        msum = msgs.groupBy("dst").agg(F.sum("c").alias("msum"))
+        dangling_term = (damping_num * (dm // n)) // damping_den
+        obs = Observation(f"prf_{it}")
+        new_ranks = (
+            ranks.join(msum, ranks["page_id"] == msum["dst"], "left")
+            .select(
+                "page_id",
+                (
+                    F.lit(jump).cast("long")
+                    + F.expr(f"({damping_num} * coalesce(msum, 0L)) div {damping_den}")
+                    + F.lit(dangling_term).cast("long")
+                ).alias("rank_fp"),
+                "is_dangling",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("is_dangling"), F.col("rank_fp")).otherwise(F.lit(0).cast("long"))
+                ).alias("dm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dm = int(obs.get["dm"] or 0)
+        ranks = new_ranks
+    return ranks.select("page_id", "rank_fp")
+
+
 def pagerank_numpy_oracle(edge_list, n=None, damping=0.85, tol=1e-6, max_iter=100):
     """Driver-side numpy oracle (tests only): identical semantics."""
     edges = np.asarray(edge_list, dtype=np.int64)
