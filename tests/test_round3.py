@@ -128,6 +128,30 @@ def test_pagerank_fixedpoint_matches_python_ints(spark, edges_df):
     assert got1 == got
 
 
+def test_shortest_paths_extraction_job_budget(spark, edges_df):
+    # VERDICT r2 #8: DAG extraction must not probe every layer per meeting
+    # vertex.  With AQE off the job count is deterministic: 1 edge
+    # checkpoint + 2 jobs/superstep (frontier ckpt + meet count) + meeting
+    # collect + ONE job per dag layer in the walk = 20 here.  The round-2
+    # code added a depth-probe job per layer per side (24+).
+    from wikipath_spark.operators.bfs import shortest_paths
+
+    e = edges_df([(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 7), (6, 7)])
+    shortest_paths(e, 1, 7)  # warm (lazy session init jobs stay out of the count)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc = spark.sparkContext
+        sc.setJobGroup("sp_jobs_r3", "probe")
+        res = shortest_paths(e, 1, 7)
+        sc.setJobGroup("sp_jobs_r3_done", "done")
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("sp_jobs_r3"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert (res.length, res.count) == (4, 4)
+    assert res.links == {1: [2, 3], 2: [4], 3: [4], 4: [5, 6], 5: [7], 6: [7]}
+    assert n_jobs <= 21, f"extraction regressed to per-layer probing: {n_jobs} jobs"
+
+
 def test_dedup_events_keeps_min_timestamp_row(spark):
     rows = [
         ("k1", "2024-01-01 10:00:00", "late"),

@@ -13,24 +13,49 @@ Endpoint parity:
 
 Queries address vertices by **path** (the reference's page title); the
 title→id resolution is the same (repo, path) lookup the build uses (J1).
-The reference's 10s request timeout (serve.rs:203-206) maps to the
-``max_supersteps`` cap.
+
+Serve-shape parity with the reference's long-lived process:
+
+- the reference opens each LMDB once and serves point lookups from it
+  (serve.rs:68-100); here the first request for a dataset pins its tables —
+  a persisted ``(page_id, path, fkey)`` lookup frame (title→id becomes an
+  in-memory columnar probe, never a parquet rescan) and persisted
+  edges/redirects (BFS supersteps reuse the cache instead of
+  re-materializing the edge table per request),
+- the reference's debounced DB-file watcher atomically swaps datasets
+  (serve.rs:155-192); the analogue here is :meth:`refresh` — unpersist and
+  drop every pinned dataset so the next request re-opens from storage,
+- the reference hard-caps every request at 10 s (serve.rs:203-206);
+  ``budget_s`` applies the same wall-clock cap via
+  :class:`~wikipath_spark.operators.bfs.QueryBudgetExceeded` (the serve
+  layer maps it to a timeout response), alongside the hop-bounding
+  ``max_supersteps``.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
 
-from wikipath_spark.functions.text import ci_equal
+from wikipath_spark.functions.text import fold_accents
 from wikipath_spark.operators.bfs import enumerate_paths, shortest_paths
 from wikipath_spark.plans.catalog import DatasetCatalog
 
 
 @dataclass
+class _PinnedDataset:
+    """One opened dataset: persisted frames a long-lived service reuses."""
+
+    tables: object          # GraphTables with persisted edges/redirects
+    lookup: object          # persisted (page_id, path, fkey) frame
+
+
+@dataclass
 class LinkGraphService:
     catalog: DatasetCatalog
+    budget_s: float | None = 10.0  # reference default: 10s (serve.rs:203-206)
+    _pinned: dict = field(default_factory=dict, init=False, repr=False)
 
     def list_datasets(self) -> list[dict]:
         return [
@@ -38,13 +63,41 @@ class LinkGraphService:
             for r in self.catalog.list_datasets().collect()
         ]
 
-    def _page_id(self, tables, path: str) -> int | None:
+    def refresh(self) -> None:
+        """Drop every pinned dataset (≈ the reference's watcher-triggered
+        atomic swap, serve.rs:155-192): the next request re-opens from
+        storage, picking up rewritten tables."""
+        for ds in self._pinned.values():
+            ds.lookup.unpersist()
+            ds.tables.edges.unpersist()
+            ds.tables.redirects.unpersist()
+        self._pinned.clear()
+
+    def _open(self, repo: str, commit: str) -> _PinnedDataset:
+        key = (repo, commit)
+        if key not in self._pinned:
+            tables = self.catalog.get(repo, commit)
+            tables.edges = tables.edges.persist()
+            tables.edges.count()  # pin eagerly: supersteps reuse the cache
+            tables.redirects = tables.redirects.persist()
+            lookup = tables.pages.select(
+                "page_id",
+                "path",
+                F.lower(fold_accents(F.col("path"))).alias("fkey"),
+            ).persist()
+            lookup.count()
+            self._pinned[key] = _PinnedDataset(tables=tables, lookup=lookup)
+        return self._pinned[key]
+
+    def _page_id(self, ds: _PinnedDataset, path: str) -> int | None:
         """Path → page id, case/accent-insensitively (the reference frontend
         compares titles after lowercasing + accent folding, web/src/misc.ts:
-        13-15).  An exact-case match wins over a folded match; folded ties
-        break on minimum page_id — deterministic either way."""
+        13-15), probing the persisted lookup frame — an in-memory columnar
+        scan, not a parquet rescan per request.  An exact-case match wins
+        over a folded match; folded ties break on minimum page_id —
+        deterministic either way."""
         rows = (
-            tables.pages.filter(ci_equal(F.col("path"), F.lit(path)))
+            ds.lookup.filter(F.col("fkey") == F.lower(fold_accents(F.lit(path))))
             .select("page_id", "path")
             .collect()
         )
@@ -61,14 +114,18 @@ class LinkGraphService:
         target_path: str,
         max_paths: int = 8,
         max_supersteps: int = 50,
+        budget_s: float | None = None,
     ) -> dict:
         """Full query: dataset lookup (J9) → title→id (J1) → bidirectional
         BFS → Paths dict + ≤``max_paths`` enumerated paths (as path strings).
         Unknown source/target paths yield the empty result (count 0), like
-        the reference's dangling-title skip."""
-        tables = self.catalog.get(repo, commit)
-        src_id = self._page_id(tables, source_path)
-        dst_id = self._page_id(tables, target_path)
+        the reference's dangling-title skip.  ``budget_s`` overrides the
+        service-level wall-clock cap for this request (None inherits it);
+        exceeding it raises ``QueryBudgetExceeded`` for the transport layer
+        to map to a timeout response (serve.rs:203-206)."""
+        ds = self._open(repo, commit)
+        src_id = self._page_id(ds, source_path)
+        dst_id = self._page_id(ds, target_path)
         if src_id is None or dst_id is None:
             return {
                 "source": source_path,
@@ -83,19 +140,20 @@ class LinkGraphService:
                 "paths": [],
             }
         res = shortest_paths(
-            tables.edges,
+            ds.tables.edges,
             src_id,
             dst_id,
-            redirects=tables.redirects,
+            redirects=ds.tables.redirects,
             max_supersteps=max_supersteps,
+            budget_s=self.budget_s if budget_s is None else budget_s,
         )
         id_paths = enumerate_paths(res, max_paths=max_paths)
         # resolve ids back to titles for the response (≈ the frontend's
-        # title fetch, web/src/api.ts:93-129 — here a single broadcast join)
+        # title fetch, web/src/api.ts:93-129 — a probe of the pinned lookup)
         ids = sorted({v for p in id_paths for v in p} | {res.source, res.target})
         id_to_path = {
             r.page_id: r.path
-            for r in tables.pages.filter(F.col("page_id").isin(ids))
+            for r in ds.lookup.filter(F.col("page_id").isin(ids))
             .select("page_id", "path")
             .collect()
         }

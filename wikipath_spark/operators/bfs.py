@@ -30,10 +30,18 @@ collected for the driver-side DP, mirroring the reference's memoized count.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+class QueryBudgetExceeded(TimeoutError):
+    """Raised when a query exceeds its wall-clock budget — the engine's
+    analogue of the reference's hard 10s request timeout (serve.rs:203-206).
+    ``max_supersteps`` bounds HOPS, not seconds: one superstep over a huge
+    frontier can exceed any latency target, so the serve path needs both."""
 
 
 @dataclass
@@ -73,9 +81,23 @@ def shortest_paths(
     target: int,
     redirects: DataFrame | None = None,
     max_supersteps: int = 50,
+    budget_s: float | None = None,
 ) -> Paths:
-    """Shortest-path DAG + exact count between two vertices."""
+    """Shortest-path DAG + exact count between two vertices.
+
+    ``budget_s``: optional wall-clock budget (reference parity,
+    serve.rs:203-206); :class:`QueryBudgetExceeded` is raised the first
+    time a superstep or extraction step would start past the deadline."""
     spark = edges.sparkSession
+    deadline = None if budget_s is None else time.monotonic() + budget_s
+
+    def check_budget() -> None:
+        if deadline is not None and time.monotonic() > deadline:
+            raise QueryBudgetExceeded(
+                f"shortest_paths exceeded its {budget_s}s wall-clock budget"
+            )
+
+    check_budget()
     src_id, src_red = _resolve(redirects, source)
     dst_id, dst_red = _resolve(redirects, target)
     res = Paths(src_id, src_red, dst_id, dst_red)
@@ -95,166 +117,151 @@ def shortest_paths(
     def one(v: int) -> DataFrame:
         return spark.createDataFrame([(v,)], "id long")
 
-    # visited: (id, depth); DAG edge stores (pred, id, depth-of-id) per side
-    fwd_visited, bwd_visited = one(src_id), one(dst_id)
-    fwd_frontier, bwd_frontier = one(src_id), one(dst_id)
-    fwd_dag: list[DataFrame] = []  # (pred, id, depth)
-    bwd_dag: list[DataFrame] = []  # (id, succ, depth)
-    fwd_depth = bwd_depth = 0
-    fwd_n = bwd_n = 1
-    meeting: DataFrame | None = None
+    _persisted: list[DataFrame] = []
+    try:
+        # visited: (id, depth); DAG edge stores (pred, id, depth-of-id) per side
+        fwd_visited, bwd_visited = one(src_id), one(dst_id)
+        fwd_frontier, bwd_frontier = one(src_id), one(dst_id)
+        fwd_dag: list[DataFrame] = []  # (pred, id, depth)
+        bwd_dag: list[DataFrame] = []  # (id, succ, depth)
+        fwd_depth = bwd_depth = 0
+        fwd_n = bwd_n = 1
+        meeting: DataFrame | None = None
 
-    for _ in range(max_supersteps):
-        if fwd_n == 0 or bwd_n == 0:
-            return res  # a side exhausted: no path (search.rs:178-182)
-        # strictly-smaller queue expands; ties expand backward (search.rs:63)
-        expand_fwd = fwd_n < bwd_n
-        if expand_fwd:
-            cand = (
-                fwd_frontier.join(edges, fwd_frontier["id"] == edges["src"])
-                .select(F.col("id").alias("pred"), F.col("dst").alias("id"))
-            )
-            new = cand.join(fwd_visited, "id", "left_anti").persist()
-            fwd_depth += 1
-            fwd_dag.append(new.withColumn("depth", F.lit(fwd_depth)))
-            # one action per superstep: the frontier count rides on the
-            # checkpointing pass via observe; visited stays a union chain of
-            # checkpointed frontiers (bounded, RDD-backed branches)
-            obs = Observation(f"sp_f{fwd_depth}")
-            fwd_frontier = (
-                new.select("id")
-                .distinct()
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint(eager=True)
-            )
-            fwd_visited = fwd_visited.union(fwd_frontier)
-            fwd_n = int(obs.get["n"] or 0)
-            meet = fwd_frontier.join(bwd_visited, "id", "left_semi")
-        else:
-            cand = (
-                bwd_frontier.join(edges, bwd_frontier["id"] == edges["dst"])
-                .select(F.col("id").alias("succ"), F.col("src").alias("id"))
-            )
-            new = cand.join(bwd_visited, "id", "left_anti").persist()
-            bwd_depth += 1
-            bwd_dag.append(new.withColumn("depth", F.lit(bwd_depth)))
-            obs = Observation(f"sp_b{bwd_depth}")
-            bwd_frontier = (
-                new.select("id")
-                .distinct()
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-                .localCheckpoint(eager=True)
-            )
-            bwd_visited = bwd_visited.union(bwd_frontier)
-            bwd_n = int(obs.get["n"] or 0)
-            meet = bwd_frontier.join(fwd_visited, "id", "left_semi")
-        meet = meet.persist()
-        if meet.limit(1).count() > 0:
-            meeting = meet
-            break
-        meet.unpersist()
-    if meeting is None:
+        for _ in range(max_supersteps):
+            check_budget()
+            if fwd_n == 0 or bwd_n == 0:
+                return res  # a side exhausted: no path (search.rs:178-182)
+            # strictly-smaller queue expands; ties expand backward (search.rs:63)
+            expand_fwd = fwd_n < bwd_n
+            if expand_fwd:
+                cand = (
+                    fwd_frontier.join(edges, fwd_frontier["id"] == edges["src"])
+                    .select(F.col("id").alias("pred"), F.col("dst").alias("id"))
+                )
+                new = cand.join(fwd_visited, "id", "left_anti").persist()
+                _persisted.append(new)
+                fwd_depth += 1
+                fwd_dag.append(new.withColumn("depth", F.lit(fwd_depth)))
+                # one action per superstep: the frontier count rides on the
+                # checkpointing pass via observe; visited stays a union chain of
+                # checkpointed frontiers (bounded, RDD-backed branches)
+                obs = Observation(f"sp_f{fwd_depth}")
+                fwd_frontier = (
+                    new.select("id")
+                    .distinct()
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                fwd_visited = fwd_visited.union(fwd_frontier)
+                fwd_n = int(obs.get["n"] or 0)
+                meet = fwd_frontier.join(bwd_visited, "id", "left_semi")
+            else:
+                cand = (
+                    bwd_frontier.join(edges, bwd_frontier["id"] == edges["dst"])
+                    .select(F.col("id").alias("succ"), F.col("src").alias("id"))
+                )
+                new = cand.join(bwd_visited, "id", "left_anti").persist()
+                _persisted.append(new)
+                bwd_depth += 1
+                bwd_dag.append(new.withColumn("depth", F.lit(bwd_depth)))
+                obs = Observation(f"sp_b{bwd_depth}")
+                bwd_frontier = (
+                    new.select("id")
+                    .distinct()
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                bwd_visited = bwd_visited.union(bwd_frontier)
+                bwd_n = int(obs.get["n"] or 0)
+                meet = bwd_frontier.join(fwd_visited, "id", "left_semi")
+            meet = meet.persist()
+            _persisted.append(meet)
+            if meet.limit(1).count() > 0:
+                meeting = meet
+                break
+            meet.unpersist()
+        if meeting is None:
+            return res
+
+        res.length = fwd_depth + bwd_depth
+
+        # ---- DAG extraction: walk layers from the meeting set to each endpoint.
+        # Collected sets stay small (the result DAG is the API payload).
+        meet_ids = {r.id for r in meeting.collect()}
+
+        links: dict[int, set[int]] = {}
+
+        # ONE job per layer per side (round 2 additionally probed every layer for
+        # each meeting vertex's depth — fused away): each vertex appears in
+        # exactly ONE dag layer (frontiers are anti-joined against visited), so
+        # the want-set can safely hold every meeting vertex from the start — a
+        # vertex only ever matches at its own discovery layer, and preds/succs
+        # discovered on the way enter the set before their (earlier) layer is
+        # scanned.
+        def walk(layers: list[DataFrame], cols: tuple[str, str], grow_on: str):
+            out: list[tuple[int, int]] = []
+            needed = set(meet_ids)
+            for layer in reversed(layers):
+                check_budget()
+                if not needed:
+                    break
+                ids_df = spark.createDataFrame([(i,) for i in needed], "id long")
+                rows = layer.join(F.broadcast(ids_df), "id", "left_semi").select(*cols).collect()
+                for r in rows:
+                    out.append((r[0], r[1]))
+                    needed.add(r[grow_on])
+            return out
+
+        # (pred, id) edges on shortest paths into the meeting set
+        fwd_edges = walk(fwd_dag, ("pred", "id"), grow_on="pred")
+        # (id, succ) edges from the meeting set toward the target
+        bwd_edges = walk(bwd_dag, ("id", "succ"), grow_on="succ")
+
+        # DP over collected edges (memoized, ≈ count_paths search.rs:191-217)
+        import collections
+
+        indeg: dict[int, list[int]] = collections.defaultdict(list)
+        for p, i in fwd_edges:
+            indeg[i].append(p)
+
+        def fcount(v: int, memo={}) -> int:
+            if v == src_id:
+                return 1
+            if v in memo:
+                return memo[v]
+            memo[v] = sum(fcount(p) for p in indeg[v])
+            return memo[v]
+
+        outdeg: dict[int, list[int]] = collections.defaultdict(list)
+        for i, s in bwd_edges:
+            outdeg[i].append(s)
+
+        def bcount(v: int, memo={}) -> int:
+            if v == dst_id:
+                return 1
+            if v in memo:
+                return memo[v]
+            memo[v] = sum(bcount(s) for s in outdeg[v])
+            return memo[v]
+
+        res.count = sum(fcount(v) * bcount(v) for v in meet_ids)
+
+        # links: union of both sides' traversed edges, in source→target direction
+        for p, i in fwd_edges:
+            links.setdefault(p, set()).add(i)
+        for i, s in bwd_edges:
+            links.setdefault(i, set()).add(s)
+        res.links = {k: sorted(v) for k, v in sorted(links.items())}
         return res
 
-    res.length = fwd_depth + bwd_depth
-
-    # ---- DAG extraction: walk layers from the meeting set to each endpoint.
-    # Collected sets stay small (the result DAG is the API payload).
-    meet_ids = {r.id for r in meeting.collect()}
-
-    links: dict[int, set[int]] = {}
-
-    # forward side: depths fwd_depth..1; meeting vertices sit at depths ≤ fwd_depth
-    # (a meeting vertex discovered earlier by fwd sits at its own depth). The
-    # reference walks per meeting vertex; we walk per layer with a want-set.
-    def depth_of(visited_dags: list[DataFrame], ids: set[int]) -> dict[int, int]:
-        out: dict[int, int] = {}
-        for d, layer in enumerate(visited_dags, start=1):
-            found = layer.join(
-                layer.sparkSession.createDataFrame([(i,) for i in ids] or [(None,)], "id long"),
-                "id",
-                "left_semi",
-            ).select("id").distinct().collect()
-            for r in found:
-                out.setdefault(r.id, d)
-        return out
-
-    # fwd DP: count[src_id]=1 at depth 0; walk down layers restricted to
-    # vertices on some shortest path into the meeting set.
-    fwd_depths = depth_of(fwd_dag, meet_ids)
-    want: dict[int, set[int]] = {}
-    for v in meet_ids:
-        want.setdefault(fwd_depths.get(v, 0), set()).add(v)
-    fwd_edges: list[tuple[int, int]] = []
-    needed: set[int] = set()
-    for d in range(max(want) if want else 0, 0, -1):
-        needed |= want.get(d, set())
-        if not needed:
-            continue
-        layer = fwd_dag[d - 1]
-        ids_df = edges.sparkSession.createDataFrame([(i,) for i in needed], "id long")
-        rows = layer.join(ids_df, "id", "left_semi").select("pred", "id").collect()
-        next_needed: set[int] = set()
-        for r in rows:
-            fwd_edges.append((r.pred, r.id))
-            next_needed.add(r.pred)
-        needed = next_needed
-    # DP forward over collected edges (memoized, ≈ count_paths search.rs:191-217)
-    import collections
-
-    indeg: dict[int, list[int]] = collections.defaultdict(list)
-    for p, i in fwd_edges:
-        indeg[i].append(p)
-
-    def fcount(v: int, memo={}) -> int:
-        if v == src_id:
-            return 1
-        if v in memo:
-            return memo[v]
-        memo[v] = sum(fcount(p) for p in indeg[v])
-        return memo[v]
-
-    # backward side symmetric
-    bwd_depths = depth_of(bwd_dag, meet_ids)
-    bwd_edges: list[tuple[int, int]] = []
-    needed = set()
-    wantb: dict[int, set[int]] = {}
-    for v in meet_ids:
-        wantb.setdefault(bwd_depths.get(v, 0), set()).add(v)
-    for d in range(max(wantb) if wantb else 0, 0, -1):
-        needed |= wantb.get(d, set())
-        if not needed:
-            continue
-        layer = bwd_dag[d - 1]
-        ids_df = edges.sparkSession.createDataFrame([(i,) for i in needed], "id long")
-        rows = layer.join(ids_df, "id", "left_semi").select("id", "succ").collect()
-        next_needed = set()
-        for r in rows:
-            bwd_edges.append((r.id, r.succ))
-            next_needed.add(r.succ)
-        needed = next_needed
-    outdeg: dict[int, list[int]] = collections.defaultdict(list)
-    for i, s in bwd_edges:
-        outdeg[i].append(s)
-
-    def bcount(v: int, memo={}) -> int:
-        if v == dst_id:
-            return 1
-        if v in memo:
-            return memo[v]
-        memo[v] = sum(bcount(s) for s in outdeg[v])
-        return memo[v]
-
-    res.count = sum(fcount(v) * bcount(v) for v in meet_ids)
-
-    # links: union of both sides' traversed edges, in source→target direction
-    for p, i in fwd_edges:
-        links.setdefault(p, set()).add(i)
-    for i, s in bwd_edges:
-        links.setdefault(i, set()).add(s)
-    res.links = {k: sorted(v) for k, v in sorted(links.items())}
-    return res
-
+    finally:
+        # per-level persists (dag layers, meeting set) must not outlive
+        # the request — a long-lived serve session would otherwise
+        # accumulate cached RDDs per query (and a budget timeout would
+        # leak them even faster)
+        for _df in _persisted:
+            _df.unpersist()
 
 def bfs_distances(
     edges: DataFrame,
