@@ -91,6 +91,39 @@ def _burn_child(n: int) -> int:
     return 1
 
 
+def _deltas_vs_prev(timings: dict, calib: dict) -> dict:
+    """Per-query wall-time ratio vs the newest recorded BENCH_r*.json,
+    normalized by the sha256 host calibration so a hypervisor noisy-neighbor
+    phase doesn't read as a code regression (or mask one): ratio =
+    (t_now · rate_now / rate_prev) / t_prev.  >1.3 flags a probable
+    regression for the harness instead of the judge."""
+    import glob
+    import re
+
+    benches = []
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            benches.append((int(m.group(1)), path))
+    if not benches:
+        return {}
+    _, latest = max(benches)
+    try:
+        with open(latest) as f:
+            prev = json.load(f).get("parsed") or {}
+        prev_q = prev.get("queries") or {}
+        prev_rate = (prev.get("host_calibration") or {}).get("sha256_per_sec_16p")
+        now_rate = calib.get("sha256_per_sec_16p")
+        scale = (now_rate / prev_rate) if (prev_rate and now_rate) else 1.0
+        return {
+            q: round(t * scale / prev_q[q], 3)
+            for q, t in timings.items()
+            if prev_q.get(q)
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -140,6 +173,7 @@ def main() -> None:
         },
         "cores": cpus,
         "host_calibration": calib,
+        "deltas_vs_prev": _deltas_vs_prev(timings, calib),
     }
     print(json.dumps(out))
 

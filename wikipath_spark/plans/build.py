@@ -41,6 +41,7 @@ class GraphTables:
 
 
 _SHARD_TARGET_ROWS = 8_000_000  # max rows one dense-id window task should sort
+_DRIVER_OFFSET_LIMIT = 100_000  # (repos × shards) rows above which offsets go distributed
 
 
 def assign_dense_ids(
@@ -54,14 +55,23 @@ def assign_dense_ids(
 
     Two-level scheme: rows are sharded by (partition_col, hash-bucket of the
     order columns) so even a single mega repo fans out across ``shards``
-    window tasks; per-shard ``row_number`` plus driver-computed base offsets
-    (one tiny aggregate — #repos × shards rows) make ids globally dense.
+    window tasks; per-shard ``row_number`` plus base offsets (a cumulative
+    sum over the #repos × shards counts) make ids globally dense.
     Ids are deterministic (hash shard + in-shard ordering are both
     data-derived) but not path-ordered across shards — density is the
     requirement (CSR kernels, the BTreeMap-density analogue database.rs:252),
     not order; the reference's dump-assigned PageIds are unordered too.
     PageId is u32 in the reference (database.rs:11); we use LongType
     (Spark has no unsigned 32-bit).
+
+    Offsets: up to ``_DRIVER_OFFSET_LIMIT`` count rows they are accumulated
+    on the driver and broadcast (one tiny collect).  Above that — millions
+    of repos at 10^12-file scale — the SAME cumulative sum runs as a window
+    over the counts frame (global order (partition_col, _shard); one sort
+    task over #groups rows, never driver memory) and joins back by shuffle.
+    Both paths produce identical ids (same order, same prefix sums); the
+    probe is a sorted ``limit(L+1)`` collect, so the common path spends no
+    extra job.
 
     ``shards=None`` auto-scales: start at 16; if the first per-(partition,
     shard) count scan finds any shard above ``_SHARD_TARGET_ROWS`` rows, the
@@ -73,33 +83,50 @@ def assign_dense_ids(
     """
     auto = shards is None
     shards = 16 if auto else shards
+    spark = df.sparkSession
+    probe_limit = _DRIVER_OFFSET_LIMIT
 
     def _counts(n_shards: int):
         shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_shards))
         sharded = df.withColumn("_shard", shard)
-        rows = (
-            sharded.groupBy(partition_col, "_shard")
-            .count()
-            .orderBy(partition_col, "_shard")
-            .collect()
-        )
-        return sharded, rows
+        counts = sharded.groupBy(partition_col, "_shard").count()
+        # ordered limit(L+1): if fewer than L+1 rows come back we hold the
+        # FULL ordered count set (limit returns everything when the input is
+        # smaller) — the driver path costs exactly the old collect; L+1 rows
+        # back means "too many groups", switch to the distributed offsets
+        rows = counts.orderBy(partition_col, "_shard").limit(probe_limit + 1).collect()
+        return sharded, counts, rows
 
-    sharded, counts = _counts(shards)
-    if auto and counts:
-        max_rows = max(r["count"] for r in counts)
+    sharded, counts, rows = _counts(shards)
+    if auto:
+        if len(rows) <= probe_limit:
+            max_rows = max((r["count"] for r in rows), default=0)
+        else:
+            max_rows = counts.agg(F.max("count")).collect()[0][0] or 0
         if max_rows > _SHARD_TARGET_ROWS:
             shards = shards * (-(-max_rows // _SHARD_TARGET_ROWS))
-            sharded, counts = _counts(shards)
+            sharded, counts, rows = _counts(shards)
 
-    offsets, base = [], 0
-    for row in counts:
-        offsets.append((row[partition_col], row["_shard"], base))
-        base += row["count"]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, f"{partition_col} string, _shard long, _base long")
-    )
+    if len(rows) <= probe_limit:
+        offsets, base = [], 0
+        for row in rows:
+            offsets.append((row[partition_col], row["_shard"], base))
+            base += row["count"]
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, f"{partition_col} string, _shard long, _base long")
+        )
+    else:
+        # distributed prefix sum: exclusive running total in the SAME global
+        # order the driver loop uses — identical _base values (tested)
+        wo = (
+            Window.orderBy(partition_col, "_shard")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off_df = counts.select(
+            partition_col,
+            "_shard",
+            F.coalesce(F.sum("count").over(wo), F.lit(0)).cast("long").alias("_base"),
+        )
     w = Window.partitionBy(partition_col, "_shard").orderBy(*order_cols)
     return (
         sharded.join(off_df, [partition_col, "_shard"])
