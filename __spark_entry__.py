@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 37 of 38 queries are oracled — the synthetic-graph ones by
+                 38 of 39 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
@@ -60,6 +60,7 @@ from wikipath_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    ivf_topk,
 )
 from wikipath_spark.operators.triangles import triangle_count, triangles_per_vertex
 from wikipath_spark.plans.build import build_graph
@@ -299,6 +300,18 @@ def q_cosine_topk_lsh(spark, sf):  # hyperplane-LSH ANN: bucket join + exact re-
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 25 == 0)
     return cosine_topk_lsh(emb, queries_df, k=3, planes=4)
+
+
+def q_ivf_topk(spark, sf):
+    """IVF ANN driven at its exact configuration: probing ALL inverted lists
+    (nprobe = n_centroids) makes every (query, corpus) pair score exactly
+    once, so the result equals brute-force cosine top-k bit-for-bit — a full
+    DuckDB oracle for the whole IVF machinery (quantizer training, list
+    assignment, probe explode, re-rank).  The recall-vs-nprobe approximate
+    path is covered by tests/test_round2.py::test_ivf_topk_recall_and_exactness."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries_df, k=3, n_centroids=8, nprobe=8, train_iters=2)
 
 
 def q_embedding_near_dup(spark, sf):
@@ -545,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "curated_corpus": q_curated_corpus,
         "events_windowed": q_events_windowed,
@@ -731,6 +745,23 @@ cedges AS (
 vedges AS (SELECT ri*{3 * m} + s*3 + r AS src, ri*{3 * m} + d*3 + r AS dst FROM cedges)
 """
 
+
+_COSINE_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS va
+        FROM embeddings WHERE vec_id % 25 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.va, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.va, q.va))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored) WHERE rn <= 3
+"""
 
 _STOP = r"\b(the|a|an|and|or|of|to|in|is|was)\b"
 _LANG_CASE = f"""
@@ -960,22 +991,10 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes za ON za.id = i.id_a JOIN sizes zb ON zb.id = i.id_b
             WHERE round(i.i / (za.sz + zb.sz - i.i), 6) >= 0.5
         """,
-        "cosine_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS va
-                FROM embeddings WHERE vec_id % 25 = 0
-            ), scored AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       round(list_dot_product(q.va, e.embedding::DOUBLE[])
-                             / (sqrt(list_dot_product(q.va, q.va))
-                                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
-                FROM q, embeddings e WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, neighbor_id, cosine, rn AS rank FROM (
-                SELECT *, row_number() OVER (PARTITION BY query_id
-                                             ORDER BY cosine DESC, neighbor_id ASC) AS rn
-                FROM scored) WHERE rn <= 3
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # IVF at nprobe = n_centroids scores every pair exactly once ⇒ the
+        # brute-force oracle verifies the full quantize/probe/re-rank path
+        "ivf_topk": _COSINE_TOPK_SQL,
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
