@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_dedup",
+    "ngram_jaccard",
+    "curated_corpus",
     "simhash",
     "simhash_pairs",
     "cosine_topk",
