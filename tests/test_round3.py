@@ -88,6 +88,41 @@ def test_verify_jaccard_broadcast_gated_by_bytes(spark):
     assert shuffled.collect()[0].jaccard == 0.5
 
 
+def test_ngram_jaccard_randomized_vs_bruteforce_high_threshold(spark):
+    # deterministic pseudo-random short docs over a tiny alphabet at t=0.8 —
+    # small sizes sit on the ceil(t*sz) IEEE boundaries (0.8*5, 0.8*10) and
+    # the asymmetric index prefix is at its shortest, so any prefix-length
+    # or orientation bug drops pairs here
+    import random
+
+    rng = random.Random(42)
+    docs = []
+    for i in range(60):
+        ln = rng.randint(4, 14)
+        docs.append((i, "".join(rng.choice("abcd") for _ in range(ln))))
+    # plus exact boundary families: J = 4/5 = 0.8 exactly (n=1 sets)
+    docs += [(100, "abcde"), (101, "abcdf"), (102, "abcd"), (103, "abcde")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.8, 0.5):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(df, n=1, threshold=t).collect()
+        }
+
+        def shset(s):
+            return set(s.lower())
+
+        want = set()
+        for i, (ia, ta) in enumerate(docs):
+            for ib, tb in docs[i + 1 :]:
+                a, b = shset(ta), shset(tb)
+                inter = len(a & b)
+                j = round(inter / (len(a) + len(b) - inter), 6)
+                if j >= t:
+                    want.add((min(ia, ib), max(ia, ib), j))
+        assert got == want, f"t={t}: missing={want - got} extra={got - want}"
+
+
 def test_pagerank_fixedpoint_matches_python_ints(spark, edges_df):
     # exact integer reference on the driver, same update rule
     from wikipath_spark.operators.pagerank import pagerank_fixedpoint

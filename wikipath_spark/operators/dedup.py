@@ -386,11 +386,19 @@ def ngram_jaccard_pairs(
     Shingles are globally ordered by (document frequency, shingle); each doc
     keeps only its prefix of length |A| - ceil(t·|A|) + 1 for pair
     generation.  PPJoin's prefix lemma (Xiao et al., WWW'08): the globally
-    smallest shared shingle of any pair with J ≥ t lies inside BOTH prefixes,
-    so the prefix self-join loses no qualifying pair — and prefixes hold each
-    doc's *rarest* shingles, so Σ_sh df² over the index collapses (measured
-    355s → seconds at sf0.1 on a near-dup-clustered corpus).  Survivors get
-    an exact full-set verify; the result is every pair with J ≥ threshold.
+    smallest shared shingle of any pair with J ≥ t lies inside BOTH
+    prefixes, so the prefix self-join loses no qualifying pair — and
+    prefixes hold each doc's *rarest* shingles, so Σ_sh df² over the index
+    collapses (measured 355s → seconds at sf0.1 on a near-dup-clustered
+    corpus).  Survivors get an exact full-set verify; the result is every
+    pair with round(J, 6) ≥ threshold.
+
+    Deliberately SYMMETRIC prefixes: PPJoin's shorter indexing prefix
+    (|y| - ceil(2t/(1+t)·|y|) + 1) was A/B-measured here — the join itself
+    runs ~40% faster, but capping the index side's matchable ranks guts the
+    positional filter (ub ≈ ip + large index-suffix), ballooning candidates
+    30k → 3.36M at sf0.1/t=0.5 and moving the cost into the exact verify.
+    Net loss; deep symmetric prefix matches are what make the bound sharp.
 
     Candidate pruning before the verify uses PPJoin's POSITIONAL filter in
     aggregate form.  Validity: each doc's prefix is downward-closed in the
@@ -408,6 +416,15 @@ def ngram_jaccard_pairs(
     """
     df = _fan_out(df)
     spark = df.sparkSession
+    # Candidate generation runs at t_eff = threshold - 1e-6 while the final
+    # verify keeps round(J, 6) >= threshold.  Two reasons, both exactness:
+    # (a) IEEE ceil boundaries — 0.8·300 evaluates to 240.0000000000000028,
+    # so ceil(t·sz) can overshoot by one and silently SHORTEN a prefix
+    # (dropping a qualifying pair whose only shared prefix token sat at the
+    # lost position); (b) the verify admits J down to threshold - 5e-7
+    # (round-to-6 boundary), so generation must cover at least that far.
+    # The cost is at most one extra prefix token per doc.
+    t_eff = threshold - 1e-6
     # eager localCheckpoint, not persist(): three downstream scans (sizes,
     # dfreq, ranked) read the materialized RDD, and the checkpoint is
     # GC-reclaimed with the frame — a bare persist() here outlives the query
@@ -425,11 +442,11 @@ def ngram_jaccard_pairs(
         .join(sizes, "id")
     )
     prefix = ranked.filter(
-        F.col("_rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("_rk") <= F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz")) + 1
     )
     if max_posting is not None:
         prefix = prefix.filter(F.col("df_") <= max_posting)
-    prefix = prefix.select("id", "sh", "df_", F.col("_rk").alias("rk"), "sz")
+    prefix = prefix.select("id", "sh", F.col("_rk").alias("rk"), "sz")
     # ONE heavy pass: the prefix self-join feeds a partially-aggregating
     # groupBy directly (map-side combine collapses per-pair duplicates before
     # the shuffle) instead of (distinct pairs → verification re-joins).
@@ -451,15 +468,17 @@ def ngram_jaccard_pairs(
             F.first(F.col("b.sz")).alias("sz_b"),
         )
     )
-    # positional upper bound (validity argued above), clamped by the
-    # size-only bound i <= min(|A|,|B|); both are exact upper bounds, so no
-    # qualifying pair is dropped before the exact verify
+    # positional upper bound (validity: both prefix sets are downward-closed
+    # within their docs, so every shared token ≤ the largest matched token
+    # t* is already counted in ip, and tokens > t* sit after rank(t*) on
+    # both sides), clamped by the size-only bound i <= min(|A|,|B|); both
+    # are exact upper bounds, so no qualifying pair is dropped pre-verify
     ub = F.least(
         F.col("ip") + F.least(F.col("sz_a") - F.col("rka"), F.col("sz_b") - F.col("rkb")),
         F.least(F.col("sz_a"), F.col("sz_b")),
     )
     cand = (
-        ip.filter(ub / (F.col("sz_a") + F.col("sz_b") - ub) >= threshold)
+        ip.filter(ub / (F.col("sz_a") + F.col("sz_b") - ub) >= t_eff)
         .select("id_a", "id_b")
         # spread the per-pair intersect work (AQE coalesces small outputs)
         .repartition(spark.sparkContext.defaultParallelism)
