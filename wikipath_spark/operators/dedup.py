@@ -459,6 +459,14 @@ def ngram_jaccard_pairs(
         prefix.alias("a")
         .join(prefix.alias("b"), "sh")
         .filter(F.col("a.id") < F.col("b.id"))
+        # AllPairs length filter: J >= t forces t·max(|A|,|B|) <= min(|A|,|B|);
+        # applied pre-aggregation it drops size-incompatible matches before
+        # they enter the pair hash table (no-op on uniform-length corpora,
+        # large on size-diverse ones)
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(t_eff) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
             F.count("*").alias("ip"),
