@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 38 of 39 queries are oracled — the synthetic-graph ones by
+                 41 of 42 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
@@ -54,6 +54,7 @@ from wikipath_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from wikipath_spark.operators.kcore import k_core
 from wikipath_spark.operators.labelprop import label_propagation
 from wikipath_spark.operators.pagerank import pagerank, pagerank_fixedpoint
 from wikipath_spark.operators.similarity import (
@@ -460,6 +461,26 @@ def q_graph_pagerank_fixed(spark, sf):
     return out.select(F.col("page_id").alias("vkey"), "rank_fp")
 
 
+_PRF_SOURCES = (0, 3)  # repo00 python hub (q=0) and its neighbor class q=1
+
+
+def q_graph_pagerank_personalized(spark, sf):
+    """Personalized fixed-point PageRank: teleport + dangling mass return to
+    a 2-vertex seed set instead of everywhere — ranks measure proximity to
+    the seeds (the standard link-graph relatedness query).  Same exact
+    integer arithmetic as graph_pagerank_fixed, so hash-portable."""
+    g = _synthetic_graph(spark)
+    verts = _keyed_pages(g).select(F.col("vkey").alias("page_id"))
+    out = pagerank_fixedpoint(
+        _graph_vkey_edges(g),
+        vertices=verts,
+        iters=_PRF_ITERS,
+        scale=_PRF_SCALE,
+        sources=list(_PRF_SOURCES),
+    )
+    return out.select(F.col("page_id").alias("vkey"), "rank_fp")
+
+
 def q_graph_components(spark, sf):
     g = _synthetic_graph(spark)
     comp = connected_components(g.edges)
@@ -483,6 +504,21 @@ def q_graph_labels(spark, sf):
     g = _synthetic_graph(spark)
     return label_propagation(_graph_vkey_edges(g), max_iter=_LPA_ROUNDS).select(
         F.col("page_id").alias("vkey"), "label"
+    )
+
+
+_KCORE_K = 7
+_KCORE_ORACLE_ROUNDS = 7  # measured fixpoint at 5 rounds; peeling past it is idempotent
+
+
+def q_graph_kcore(spark, sf):
+    """k-core decomposition on the stable-keyed graph (k=7 peels ~13% of
+    vertices over 5 rounds here — a real multi-round fixpoint).  Engine
+    iterates to convergence; the oracle unrolls ≥ that many rounds, exact
+    because extra peel rounds past the fixpoint change nothing."""
+    g = _synthetic_graph(spark)
+    return k_core(_graph_vkey_edges(g), k=_KCORE_K).select(
+        F.col("page_id").alias("vkey"), "degree"
     )
 
 
@@ -566,8 +602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_decode": q_media_real_decode,
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
+        "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_components": q_graph_components,
         "graph_labels": q_graph_labels,
+        "graph_kcore": q_graph_kcore,
         "graph_triangles": q_graph_triangles,
         "graph_shortest_path": q_graph_shortest_path,
         "graph_build_stats": q_graph_build_stats,
@@ -673,16 +711,24 @@ def _graph_labels_oracle() -> str:
     """
 
 
-def _graph_pagerank_fixed_oracle() -> str:
+def _graph_pagerank_fixed_oracle(sources: tuple[int, ...] | None = None) -> str:
     """Unrolled fixed-point PageRank — the exact integer twin of
     operators/pagerank.pagerank_fixedpoint, term for term: truncating
     division (DuckDB ``//`` == Spark ``div`` on positive ints), commuting
-    integer sums, fixed {iters} rounds.  Runs on the regenerated stable-key
+    integer sums, fixed {iters} rounds.  ``sources`` mirrors the
+    personalized variant: the jump set (teleport + dangling return) is the
+    seed list instead of every vertex.  Runs on the regenerated stable-key
     edge structure; CASTs pin every rank back to BIGINT (DuckDB widens sums
     to HUGEINT)."""
-    n = _GRAPH_REPOS * 3 * _GRAPH_CLASSES
+    n_all = _GRAPH_REPOS * 3 * _GRAPH_CLASSES
+    n = n_all if sources is None else len(sources)
     r0 = _PRF_SCALE // n
     jump = (15 * _PRF_SCALE) // (100 * n)
+    def pred(col: str) -> str:
+        if sources is None:
+            return "TRUE"
+        return f"{col} IN ({', '.join(str(s) for s in sources)})"
+
     parts = []
     prev = "r0"
     for k in range(1, _PRF_ITERS + 1):
@@ -694,8 +740,10 @@ def _graph_pagerank_fixed_oracle() -> str:
                       JOIN od ON od.src = e.src
                       GROUP BY e.dst),
             r{k} AS (SELECT v.id,
-                            CAST({jump} + (85 * coalesce(ms.m, 0)) // 100
-                                 + (85 * ((SELECT v FROM dm{k}) // {n})) // 100
+                            CAST(CASE WHEN {pred("v.id")}
+                                 THEN {jump} + (85 * ((SELECT v FROM dm{k}) // {n})) // 100
+                                 ELSE 0 END
+                                 + (85 * coalesce(ms.m, 0)) // 100
                                  AS BIGINT) AS rank_fp
                      FROM verts v LEFT JOIN ms{k} ms ON ms.id = v.id)""")
         prev = f"r{k}"
@@ -703,9 +751,43 @@ def _graph_pagerank_fixed_oracle() -> str:
         WITH RECURSIVE {_graph_oracle_edges()},
         verts AS (SELECT ri*{3 * _GRAPH_CLASSES} + q*3 + r AS id FROM qs, langs, reposx),
         od AS (SELECT src, count(*) AS c FROM vedges GROUP BY src),
-        r0 AS (SELECT id, CAST({r0} AS BIGINT) AS rank_fp FROM verts),
+        r0 AS (SELECT id, CAST(CASE WHEN {pred("id")} THEN {r0} ELSE 0 END AS BIGINT) AS rank_fp
+               FROM verts),
         {','.join(parts)}
         SELECT id AS vkey, rank_fp FROM {prev}
+    """
+
+
+def _graph_kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling on the regenerated stable-key edges: each
+    round keeps edges whose BOTH endpoints had degree ≥ k in the previous
+    round.  Exact for ``rounds`` ≥ the engine's convergence round count
+    (further peeling is idempotent at the fixpoint)."""
+    parts = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        # MATERIALIZED is load-bearing: each round references the previous
+        # edge set three times (degree count + both endpoint keeps), and
+        # DuckDB's default CTE inlining re-evaluates the whole chain per
+        # reference — 3^rounds blowup (measured: 8 minutes inlined vs 50 ms
+        # materialized for 7 rounds)
+        parts.append(f"""
+            d{i} AS MATERIALIZED (SELECT u, count(*) AS c FROM {prev} GROUP BY u),
+            kp{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {k}),
+            e{i} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e
+                     JOIN kp{i} a ON a.u = e.u JOIN kp{i} b ON b.u = e.v)""")
+        prev = f"e{i}"
+    return f"""
+        WITH RECURSIVE {_graph_oracle_edges()},
+        -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+        -- clause DuckDB parses a MATERIALIZED cte body of the form
+        -- "A UNION B" as the recursive base/step shape and keeps duplicates
+        -- (measured: exactly 2x rows) — explicit dedup sidesteps that
+        e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM vedges
+            UNION ALL SELECT dst AS u, src AS v FROM vedges)),
+        {','.join(parts)}
+        SELECT u AS vkey, CAST(count(*) AS BIGINT) AS degree FROM {prev} GROUP BY u
     """
 
 
@@ -1118,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_labels": _graph_labels_oracle(),
         "graph_pagerank_fixed": _graph_pagerank_fixed_oracle(),
+        "graph_pagerank_personalized": _graph_pagerank_fixed_oracle(sources=_PRF_SOURCES),
+        "graph_kcore": _graph_kcore_oracle(_KCORE_K, _KCORE_ORACLE_ROUNDS),
         "graph_components": f"""
             WITH RECURSIVE {_graph_oracle_edges()},
             sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),

@@ -210,6 +210,38 @@ def test_dense_ids_distributed_offsets_match_driver_path(spark, monkeypatch):
     assert ids == list(range(len(rows)))  # dense 0..N-1
 
 
+def test_k_core_peels_to_clique(spark, edges_df):
+    from wikipath_spark.operators.kcore import k_core
+
+    # K4 clique {1,2,3,4} with a tail 4-5-6 and a pendant 7 off the clique:
+    # the 3-core is exactly the clique (tail/pendant peel over 2+ rounds)
+    el = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 7)]
+    got = {
+        (r.page_id, r.degree) for r in k_core(edges_df(el), k=3).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    # k above the max degree -> empty core
+    assert k_core(edges_df(el), k=10).count() == 0
+
+
+def test_pagerank_fixedpoint_personalized_mass_at_sources(spark, edges_df):
+    from wikipath_spark.operators.pagerank import pagerank_fixedpoint
+
+    el = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "page_id long")
+    out = {
+        r.page_id: r.rank_fp
+        for r in pagerank_fixedpoint(
+            edges_df(el), vertices=verts, iters=6, scale=10**12, sources=[1]
+        ).collect()
+    }
+    # teleport returns only to vertex 1: it outranks everything; vertex 5
+    # (isolated, not a source) holds zero mass; 4 (unreachable from 1) too
+    assert out[1] == max(out.values())
+    assert out[5] == 0 and out[4] == 0
+    assert out[2] > 0 and out[3] > 0
+
+
 def test_dedup_events_keeps_min_timestamp_row(spark):
     rows = [
         ("k1", "2024-01-01 10:00:00", "late"),

@@ -254,6 +254,7 @@ def pagerank_fixedpoint(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Bit-portable integer PageRank: rank mass as scaled int64, EXACT
     integer arithmetic, fixed iteration count.
@@ -264,17 +265,24 @@ def pagerank_fixedpoint(
     exact same bits — integer sums commute, truncating division is
     deterministic:
 
-    - r0(v)   = scale div n
+    - r0(v)   = scale div n                    (over the jump set, else 0)
     - contrib = r(src) div out_deg(src)                 (per edge)
     - dm      = Σ r(v) over dangling v
-    - r'(v)   = ((den-num)·scale) div (den·n)
+    - r'(v)   = [v ∈ jump set] · ( ((den-num)·scale) div (den·n)
+                                   + (num·(dm div n)) div den )
                 + (num·msum(v)) div den
-                + (num·(dm div n)) div den
 
-    Mirrored term-for-term by the DuckDB oracle in ``__spark_entry__``
-    (``graph_pagerank_fixed``), closing the one rows-only row from round 2.
-    Returns ``(page_id, rank_fp)``.  All values stay well inside int64:
-    total mass ≤ scale, per-term products ≤ num·scale.
+    ``sources`` switches to PERSONALIZED PageRank: the jump set becomes the
+    source vertices (n = |sources|) instead of all vertices — teleport and
+    dangling mass return to the sources only, so ranks measure proximity to
+    that seed set (the standard relatedness query over a link graph).
+    ``sources=None`` is classic PageRank (jump set = every vertex).
+
+    Mirrored term-for-term by the DuckDB oracles in ``__spark_entry__``
+    (``graph_pagerank_fixed`` / ``graph_pagerank_personalized``), closing
+    the one rows-only row from round 2.  Returns ``(page_id, rank_fp)``.
+    All values stay well inside int64: total mass ≤ scale, per-term
+    products ≤ num·scale.
     """
     if vertices is None:
         vertices = (
@@ -283,27 +291,38 @@ def pagerank_fixedpoint(
             .distinct()
         )
     vertices = vertices.select("page_id")
-    n = vertices.count()
-    if n == 0:
+    n_vertices = vertices.count()
+    if n_vertices == 0:
         return vertices.withColumn("rank_fp", F.lit(0).cast("long"))
+    # n = size of the jump set (all vertices, or the personalization seeds)
+    n = n_vertices if sources is None else len(sources)
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
     edges_od = (
         edges.select("src", "dst").join(out_deg, "src").localCheckpoint(eager=True)
     )
     srcs = edges.select("src").distinct()
+    in_jump = (
+        F.lit(True) if sources is None else F.col("page_id").isin([int(s) for s in sources])
+    )
     vflag = (
         vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
-        .select("page_id", F.col("src").isNull().alias("is_dangling"))
+        .select(
+            "page_id",
+            F.col("src").isNull().alias("is_dangling"),
+            in_jump.alias("is_jump"),
+        )
         .localCheckpoint(eager=True)
     )
     r0_val = scale // n
-    n_dangling = vflag.filter("is_dangling").count()
-    dm = r0_val * n_dangling
+    dm = r0_val * vflag.filter("is_dangling AND is_jump").count()
     jump = ((damping_den - damping_num) * scale) // (damping_den * n)
 
     ranks = vflag.select(
-        "page_id", F.lit(r0_val).cast("long").alias("rank_fp"), "is_dangling"
+        "page_id",
+        F.when(F.col("is_jump"), F.lit(r0_val)).otherwise(F.lit(0)).cast("long").alias("rank_fp"),
+        "is_dangling",
+        "is_jump",
     ).localCheckpoint(eager=True)
     for it in range(1, iters + 1):
         msgs = edges_od.join(ranks, edges_od["src"] == ranks["page_id"]).select(
@@ -317,11 +336,11 @@ def pagerank_fixedpoint(
             .select(
                 "page_id",
                 (
-                    F.lit(jump).cast("long")
+                    F.when(F.col("is_jump"), F.lit(jump + dangling_term)).otherwise(F.lit(0)).cast("long")
                     + F.expr(f"({damping_num} * coalesce(msum, 0L)) div {damping_den}")
-                    + F.lit(dangling_term).cast("long")
                 ).alias("rank_fp"),
                 "is_dangling",
+                "is_jump",
             )
             .observe(
                 obs,
