@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wikipath_spark.functions.text import lang_id, quality_score
-from wikipath_spark.operators.dedup import ngram_jaccard_pairs
+from wikipath_spark.operators.dedup import _fan_out, ngram_jaccard_pairs
 
 
 def curate_corpus(
@@ -37,8 +37,10 @@ def curate_corpus(
     dropped docs are irrelevant), through the exact prefix-filtered
     all-pairs Jaccard — bucketed candidate generation, never a cross join.
     """
+    # fan out first: the language-ID gate runs four regexp counters per row,
+    # and a small parquet arrives as one split (single-core otherwise)
     gated = (
-        documents.select(
+        _fan_out(documents).select(
             F.col(id_col).alias("doc_id"),
             F.col(text_col).alias("text"),
             lang_id(F.col(text_col)).alias("lang_guess"),
