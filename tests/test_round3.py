@@ -224,6 +224,77 @@ def test_k_core_peels_to_clique(spark, edges_df):
     assert k_core(edges_df(el), k=10).count() == 0
 
 
+def test_k_core_random_graphs_vs_python(spark, edges_df):
+    import random
+
+    from wikipath_spark.operators.kcore import k_core
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 24
+        el = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+        el = [(a, b) for a, b in el if a != b]
+        for k in (2, 3):
+            got = {(r.page_id, r.degree) for r in k_core(edges_df(el), k=k).collect()}
+
+            import collections
+
+            adj = collections.defaultdict(set)
+            for s, d in el:
+                adj[s].add(d)
+                adj[d].add(s)
+            alive = set(adj)
+            changed = True
+            while changed:
+                changed = False
+                for v in list(alive):
+                    if len(adj[v] & alive) < k:
+                        alive.discard(v)
+                        changed = True
+            want = {(v, len(adj[v] & alive)) for v in alive}
+            assert got == want, f"trial {trial} k={k}"
+
+
+def test_pagerank_fixedpoint_random_graphs_vs_python(spark, edges_df):
+    import random
+
+    from wikipath_spark.operators.pagerank import pagerank_fixedpoint
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 15
+        el = list({(rng.randrange(1, n + 1), rng.randrange(1, n + 1)) for _ in range(30)})
+        el = [(a, b) for a, b in el if a != b]
+        verts = spark.createDataFrame([(i,) for i in range(1, n + 1)], "page_id long")
+        sources = None if trial == 0 else sorted(rng.sample(range(1, n + 1), 2))
+        iters, scale = 4, 10**12
+        got = {
+            r.page_id: r.rank_fp
+            for r in pagerank_fixedpoint(
+                edges_df(el), vertices=verts, iters=iters, scale=scale, sources=sources
+            ).collect()
+        }
+
+        out = {}
+        for s, d in el:
+            out[s] = out.get(s, 0) + 1
+        jump_set = set(range(1, n + 1)) if sources is None else set(sources)
+        nj = len(jump_set)
+        r = {v: (scale // nj if v in jump_set else 0) for v in range(1, n + 1)}
+        jump = (15 * scale) // (100 * nj)
+        for _ in range(iters):
+            dm = sum(r[v] for v in r if v not in out)
+            ms = {}
+            for s, d in el:
+                ms[d] = ms.get(d, 0) + r[s] // out[s]
+            r = {
+                v: (jump + (85 * (dm // nj)) // 100 if v in jump_set else 0)
+                + (85 * ms.get(v, 0)) // 100
+                for v in range(1, n + 1)
+            }
+        assert got == r, f"trial {trial} sources={sources}"
+
+
 def test_pagerank_fixedpoint_personalized_mass_at_sources(spark, edges_df):
     from wikipath_spark.operators.pagerank import pagerank_fixedpoint
 
