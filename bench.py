@@ -114,8 +114,14 @@ def _deltas_vs_prev(timings: dict, calib: dict) -> dict:
         with open(latest) as f:
             prev = json.load(f).get("parsed") or {}
         prev_q = prev.get("queries") or {}
-        prev_rate = (prev.get("host_calibration") or {}).get("sha256_per_sec_16p")
-        now_rate = calib.get("sha256_per_sec_16p")
+
+        def rate(c: dict):
+            vals = [c.get("sha256_per_sec_16p"), c.get("sha256_per_sec_16p_end")]
+            vals = [v for v in vals if v]
+            return sum(vals) / len(vals) if vals else None
+
+        prev_rate = rate(prev.get("host_calibration") or {})
+        now_rate = rate(calib)
         scale = (now_rate / prev_rate) if (prev_rate and now_rate) else 1.0
         return {
             q: round(t * scale / prev_q[q], 3)
@@ -129,7 +135,8 @@ def _deltas_vs_prev(timings: dict, calib: dict) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    calib = _host_calibration()
+    calib = _host_calibration()  # re-sampled after the suite: the VM's noise
+    # phases shift on minute scale, so a start-only sample can mislabel a run
     spark = get_spark(app_name="wikipath_spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
@@ -158,6 +165,12 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    calib_end = _host_calibration()
+    calib = {
+        **calib,
+        "sha256_per_sec_1p_end": calib_end["sha256_per_sec_1p"],
+        "sha256_per_sec_16p_end": calib_end["sha256_per_sec_16p"],
+    }
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "pagerank supersteps/min + edges-processed/sec to 1e-6 (synthetic link graph) + operator suite wall time",
