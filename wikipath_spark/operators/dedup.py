@@ -578,6 +578,9 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # Hamming is a pure function of the pair, so filtering BEFORE the
+        # distinct is equivalent — and the dedup shuffle then carries only
+        # survivors instead of every multi-band collision
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
