@@ -284,6 +284,8 @@ def pagerank_fixedpoint(
     All values stay well inside int64: total mass ≤ scale, per-term
     products ≤ num·scale.
     """
+    if sources is not None and len(sources) == 0:
+        raise ValueError("pagerank_fixedpoint: sources must be non-empty (or None)")
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("page_id"))
