@@ -252,6 +252,11 @@ def minhash_lsh_pairs(
     verification (the distinct's AQE-coalesced output otherwise runs every
     array_intersect on two cores).
     """
+    if bands <= 0 or k % bands:
+        raise ValueError(
+            f"minhash_lsh_pairs: k ({k}) must be a positive multiple of bands "
+            f"({bands}) — trailing minhashes would silently go unused"
+        )
     rows = k // bands
     obs = Observation()
     base = (
