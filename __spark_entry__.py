@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 41 of 42 queries are oracled — the synthetic-graph ones by
+                 42 of 43 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
@@ -54,7 +54,7 @@ from wikipath_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from wikipath_spark.operators.kcore import k_core
+from wikipath_spark.operators.kcore import coreness, k_core
 from wikipath_spark.operators.labelprop import label_propagation
 from wikipath_spark.operators.pagerank import pagerank, pagerank_fixedpoint
 from wikipath_spark.operators.similarity import (
@@ -522,6 +522,20 @@ def q_graph_kcore(spark, sf):
     )
 
 
+_CORENESS_ORACLE_ROUNDS = 9  # measured fixpoint at 7; extra rounds idempotent
+
+
+def q_graph_coreness(spark, sf):
+    """Full core decomposition via h-index iteration — every vertex's
+    largest k such that it survives k-core peeling.  Order-independent
+    (H-index is a multiset function), so exactly oracle-able by unrolling
+    rounds; validated against classic min-degree peeling in tests."""
+    g = _synthetic_graph(spark)
+    return coreness(_graph_vkey_edges(g)).select(
+        F.col("page_id").alias("vkey"), "coreness"
+    )
+
+
 def q_graph_triangles(spark, sf):
     g = _synthetic_graph(spark)
     keyed = _keyed_pages(g)
@@ -606,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "graph_labels": q_graph_labels,
         "graph_kcore": q_graph_kcore,
+        "graph_coreness": q_graph_coreness,
         "graph_triangles": q_graph_triangles,
         "graph_shortest_path": q_graph_shortest_path,
         "graph_build_stats": q_graph_build_stats,
@@ -788,6 +803,36 @@ def _graph_kcore_oracle(k: int, rounds: int) -> str:
             UNION ALL SELECT dst AS u, src AS v FROM vedges)),
         {','.join(parts)}
         SELECT u AS vkey, CAST(count(*) AS BIGINT) AS degree FROM {prev} GROUP BY u
+    """
+
+
+def _graph_coreness_oracle(rounds: int) -> str:
+    """Unrolled h-index coreness iteration (Lü et al. 2016): c₀ = degree,
+    c_{k+1}(v) = H-index of neighbors' c_k = max over the desc-sorted
+    neighbor values of min(rank, value).  Exact for ``rounds`` ≥ the
+    fixpoint round (further rounds idempotent).  MATERIALIZED for the same
+    reason as the k-core oracle (multi-referenced CTE chain)."""
+    parts = []
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            j{i} AS MATERIALIZED (SELECT e.u, c.est FROM e0 e JOIN {prev} c ON c.id = e.v),
+            r{i} AS MATERIALIZED (SELECT u, est,
+                       row_number() OVER (PARTITION BY u ORDER BY est DESC) AS rn
+                       FROM j{i}),
+            c{i} AS MATERIALIZED (SELECT u AS id,
+                       CAST(max(least(rn, est)) AS BIGINT) AS est
+                       FROM r{i} GROUP BY u)""")
+        prev = f"c{i}"
+    return f"""
+        WITH RECURSIVE {_graph_oracle_edges()},
+        e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM vedges
+            UNION ALL SELECT dst AS u, src AS v FROM vedges)),
+        c0 AS MATERIALIZED (SELECT u AS id, CAST(count(*) AS BIGINT) AS est
+                            FROM e0 GROUP BY u),
+        {','.join(parts)}
+        SELECT id AS vkey, est AS coreness FROM {prev}
     """
 
 
@@ -1202,6 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_fixed": _graph_pagerank_fixed_oracle(),
         "graph_pagerank_personalized": _graph_pagerank_fixed_oracle(sources=_PRF_SOURCES),
         "graph_kcore": _graph_kcore_oracle(_KCORE_K, _KCORE_ORACLE_ROUNDS),
+        "graph_coreness": _graph_coreness_oracle(_CORENESS_ORACLE_ROUNDS),
         "graph_components": f"""
             WITH RECURSIVE {_graph_oracle_edges()},
             sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),

@@ -255,6 +255,46 @@ def test_k_core_random_graphs_vs_python(spark, edges_df):
             assert got == want, f"trial {trial} k={k}"
 
 
+def test_coreness_random_graphs_vs_python_peeling(spark, edges_df):
+    import collections
+    import random
+
+    from wikipath_spark.operators.kcore import coreness
+
+    def py_coreness(el):
+        adj = collections.defaultdict(set)
+        for s, d in el:
+            if s != d:
+                adj[s].add(d)
+                adj[d].add(s)
+        deg = {v: len(adj[v]) for v in adj}
+        core, alive, k = {}, set(adj), 0
+        while alive:
+            k = max(k, min(deg[v] for v in alive))
+            peel = [v for v in alive if deg[v] <= k]
+            while peel:
+                v = peel.pop()
+                if v not in alive:
+                    continue
+                core[v] = k
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+                        if deg[u] <= k:
+                            peel.append(u)
+        return core
+
+    rng = random.Random(3)
+    cases = [[(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 7)]]
+    for _ in range(3):
+        cases.append(list({(rng.randrange(20), rng.randrange(20)) for _ in range(50)}))
+    for ci, el in enumerate(cases):
+        el = [(a, b) for a, b in el if a != b]
+        got = {r.page_id: r.coreness for r in coreness(edges_df(el)).collect()}
+        assert got == py_coreness(el), f"case {ci}"
+
+
 def test_pagerank_fixedpoint_random_graphs_vs_python(spark, edges_df):
     import random
 

@@ -28,6 +28,79 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Full core decomposition: ``(page_id, coreness)`` for every vertex —
+    the largest k such that the vertex belongs to the k-core.
+
+    Algorithm: h-index iteration (Lü, Zhou, Zhang, Stanley, "The H-index of
+    a network node and its relation to degree and coreness", 2016): start
+    from c₀(v) = degree(v) and repeatedly set c(v) to the H-index of its
+    neighbors' current values (the largest h with ≥ h neighbors valued ≥ h).
+    The sequence decreases monotonically and its fixpoint IS the coreness —
+    exact, and order-independent (the H-index is a multiset function), so
+    the result is deterministic across engines and parallelism levels and
+    has a DuckDB twin by unrolling rounds (``graph_coreness``).
+
+    Each round: one join (neighbor estimates) + one window + one aggregate —
+    the window and the aggregate share the hash(u) partitioning, so the
+    round costs two shuffles.  The per-vertex H-index is
+    max over the desc-sorted neighbor values e₁ ≥ e₂ ≥ … of min(rank, eᵣ),
+    tie-order-free.  Convergence rides on the materializing pass as a
+    (count, order-insensitive hash) fingerprint — one action per round.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    est = (
+        sym.groupBy("u")
+        .agg(F.count("*").cast("long").alias("est"))
+        .select(F.col("u").alias("page_id"), "est")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc("est"))
+    prev_sig: tuple[int, int] | None = None
+    converged = False
+    for i in range(max_iter):
+        nbr = sym.join(est, sym["v"] == est["page_id"]).select("u", "est")
+        obs = Observation(f"coreness_{i}")
+        new_est = (
+            nbr.withColumn("_rn", F.row_number().over(w))
+            .groupBy("u")
+            .agg(F.max(F.least(F.col("_rn").cast("long"), F.col("est"))).alias("est"))
+            .select(F.col("u").alias("page_id"), "est")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64("page_id", "est"), F.lit(1 << 40))).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
+        est = new_est
+        converged = sig == prev_sig
+        if converged:
+            break
+        prev_sig = sig
+    if not converged and max_iter > 0:
+        warnings.warn(
+            f"coreness: no fixpoint after {max_iter} rounds; estimates are an "
+            "upper bound on the true coreness (raise max_iter)",
+            stacklevel=2,
+        )
+    return est.select("page_id", F.col("est").alias("coreness"))
+
+
 def k_core(
     edges: DataFrame,
     k: int,
