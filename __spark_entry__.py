@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 42 of 43 queries are oracled — the synthetic-graph ones by
+                 41 of 42 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
