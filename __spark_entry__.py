@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 41 of 42 queries are oracled — the synthetic-graph ones by
+                 42 of 43 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
@@ -44,7 +44,7 @@ from wikipath_spark.functions.text import (
     token_count,
     whitespace_token_count,
 )
-from wikipath_spark.operators.bfs import bfs_distances, shortest_paths
+from wikipath_spark.operators.bfs import bfs_distances, multi_source_bfs, shortest_paths
 from wikipath_spark.operators.components import connected_components
 from wikipath_spark.operators.dedup import (
     exact_dedup,
@@ -536,6 +536,20 @@ def q_graph_coreness(spark, sf):
     )
 
 
+_MSBFS_SOURCES = (0, 300)  # the repo00 and repo01 python hub classes
+_MSBFS_DEPTH = 12
+
+
+def q_graph_multi_bfs(spark, sf):
+    """Batched BFS distances from two sources in ONE frontier loop — k
+    distance queries cost the supersteps of one (state keyed by (source,
+    vertex)); the scale shape for bulk reachability/distance workloads."""
+    g = _synthetic_graph(spark)
+    return multi_source_bfs(
+        _graph_vkey_edges(g), list(_MSBFS_SOURCES), max_depth=_MSBFS_DEPTH
+    ).select("source", F.col("page_id").alias("vkey"), "distance")
+
+
 def q_graph_triangles(spark, sf):
     g = _synthetic_graph(spark)
     keyed = _keyed_pages(g)
@@ -621,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labels": q_graph_labels,
         "graph_kcore": q_graph_kcore,
         "graph_coreness": q_graph_coreness,
+        "graph_multi_bfs": q_graph_multi_bfs,
         "graph_triangles": q_graph_triangles,
         "graph_shortest_path": q_graph_shortest_path,
         "graph_build_stats": q_graph_build_stats,
@@ -1248,6 +1263,19 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_personalized": _graph_pagerank_fixed_oracle(sources=_PRF_SOURCES),
         "graph_kcore": _graph_kcore_oracle(_KCORE_K, _KCORE_ORACLE_ROUNDS),
         "graph_coreness": _graph_coreness_oracle(_CORENESS_ORACLE_ROUNDS),
+        "graph_multi_bfs": f"""
+            WITH RECURSIVE {_graph_oracle_edges()},
+            walk(s, id, d) AS (
+                SELECT s, s, 0 FROM (VALUES {', '.join(f'({s})' for s in _MSBFS_SOURCES)}) AS t(s)
+                UNION
+                SELECT w.s, CAST(v.dst AS BIGINT), w.d + 1
+                FROM walk w JOIN vedges v ON v.src = w.id
+                WHERE w.d < {_MSBFS_DEPTH}
+            )
+            SELECT CAST(s AS BIGINT) AS source, CAST(id AS BIGINT) AS vkey,
+                   CAST(min(d) AS INT) AS distance
+            FROM walk GROUP BY s, id
+        """,
         "graph_components": f"""
             WITH RECURSIVE {_graph_oracle_edges()},
             sym AS (SELECT src AS u, dst AS v FROM vedges UNION SELECT dst, src FROM vedges),

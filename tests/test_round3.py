@@ -255,6 +255,23 @@ def test_k_core_random_graphs_vs_python(spark, edges_df):
             assert got == want, f"trial {trial} k={k}"
 
 
+def test_multi_source_bfs_equals_per_source_runs(spark, edges_df):
+    from wikipath_spark.operators.bfs import bfs_distances, multi_source_bfs
+
+    el = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5), (5, 6), (7, 1), (8, 9)]
+    e = edges_df(el)
+    sources = [1, 8, 6]  # 6 has no out-edges: reaches only itself
+    batched = {
+        (r.source, r.page_id): r.distance
+        for r in multi_source_bfs(e, sources, max_depth=10).collect()
+    }
+    singly = {}
+    for s in sources:
+        for r in bfs_distances(e, s, max_depth=10).collect():
+            singly[(s, r.page_id)] = r.distance
+    assert batched == singly
+
+
 def test_coreness_random_graphs_vs_python_peeling(spark, edges_df):
     import collections
     import random

@@ -331,6 +331,57 @@ def bfs_distances(
     return visited
 
 
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Batched single-source BFS: ``(source, page_id, distance)`` for every
+    vertex reachable from each source within ``max_depth`` hops.
+
+    One level-synchronous loop carries ALL sources at once — frontier and
+    visited rows are keyed by (source, vertex), so k distance queries cost
+    the same number of supersteps as one (the per-level joins just carry k×
+    the rows, which is exactly how a batch of queries should scale on a
+    cluster, instead of k sequential driver loops).  Each superstep is one
+    join + anti-join with the frontier count observed on the checkpointing
+    pass (same discipline as :func:`bfs_distances`)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
+        e = e.localCheckpoint(eager=True)
+    seed = [(int(s), int(s), 0) for s in dict.fromkeys(sources)]
+    visited = spark.createDataFrame(seed, "source long, page_id long, distance int")
+    frontier = visited.select("source", F.col("page_id").alias("id"))
+    for depth in range(1, max_depth + 1):
+        obs = Observation(f"msbfs_{depth}")
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .alias("c")
+        )
+        nxt = (
+            cand.join(
+                visited.alias("v"),
+                (F.col("c.id") == F.col("v.page_id"))
+                & (F.col("c.source") == F.col("v.source")),
+                "left_anti",
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["n"] or 0) == 0:
+            break
+        visited = visited.union(
+            nxt.select("source", F.col("id").alias("page_id"), F.lit(depth).alias("distance"))
+        )
+        frontier = nxt
+    return visited
+
+
 def enumerate_paths(paths: Paths, max_paths: int = 8) -> list[list[int]]:
     """DFS enumeration of ≤``max_paths`` concrete paths, children in
     ascending-id order — the frontend's algorithm (web/src/api.ts:64-84,
