@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 42 of 43 queries are oracled — the synthetic-graph ones by
+                 43 of 44 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
@@ -47,6 +47,7 @@ from wikipath_spark.functions.text import (
 from wikipath_spark.operators.bfs import bfs_distances, multi_source_bfs, shortest_paths
 from wikipath_spark.operators.components import connected_components
 from wikipath_spark.operators.dedup import (
+    contamination_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -340,6 +341,16 @@ def q_events_windowed(spark, sf):
     return windowed_event_counts(_t(spark, sf, "events"))
 
 
+def q_contamination(spark, sf):
+    """Benchmark decontamination over the documents table: the 'benchmark'
+    is every 50th document; pairs sharing ≥3 distinct word 5-grams flag as
+    train/test leakage (near-duplicate families in the corpus make this
+    non-trivially populated)."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(d, bench, n=5, min_shared=3)
+
+
 def q_curated_corpus(spark, sf):  # composed pipeline: gate → dedup → near-dup prune
     return curate_corpus(
         _t(spark, sf, "documents"),
@@ -624,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "contamination": q_contamination,
         "curated_corpus": q_curated_corpus,
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
@@ -1053,6 +1065,25 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "contamination": """
+            WITH ctoks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ), cg AS (
+                SELECT DISTINCT c.doc_id, u.g
+                FROM ctoks c,
+                     UNNEST([array_to_string(c.t[i:i+4], ' ')
+                             FOR i IN range(1, greatest(len(c.t) - 3, 1))]) AS u(g)
+                WHERE len(c.t) >= 5
+            ), bg AS (
+                SELECT doc_id AS bench_id, g FROM cg WHERE doc_id % 50 = 0
+            )
+            SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+            FROM cg c JOIN bg b USING (g)
+            WHERE c.doc_id <> b.bench_id
+            GROUP BY c.doc_id, b.bench_id
+            HAVING count(*) >= 3
         """,
         "minhash_signatures": f"""
             WITH sh AS (

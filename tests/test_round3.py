@@ -255,6 +255,29 @@ def test_k_core_random_graphs_vs_python(spark, edges_df):
             assert got == want, f"trial {trial} k={k}"
 
 
+def test_contamination_flags_planted_leak(spark):
+    from wikipath_spark.operators.dedup import contamination_pairs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix text THE QUICK BROWN FOX JUMPS OVER the fence"),  # leaked 5-grams
+            (2, "completely unrelated content about spark physical plans"),
+            (100, "the quick brown fox jumps over the lazy dog tonight"),  # self
+        ],
+        "doc_id long, text string",
+    )
+    rows = contamination_pairs(corpus, bench, n=5, min_shared=2).collect()
+    got = {(r.doc_id, r.bench_id): r.shared_ngrams for r in rows}
+    # doc 1 shares the 5-grams starting at 'the quick ...' and 'quick brown ...'
+    assert (1, 100) in got and got[(1, 100)] >= 2
+    assert all(d != 2 for d, _ in got)  # unrelated doc never flags
+    assert all(d != 100 for d, _ in got)  # self-pair excluded
+
+
 def test_multi_source_bfs_equals_per_source_runs(spark, edges_df):
     from wikipath_spark.operators.bfs import bfs_distances, multi_source_bfs
 

@@ -501,6 +501,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def word_ngrams(col, n: int):
+    """Distinct word-level n-grams (lowercased [a-z0-9]+ tokens joined by a
+    single space) — the unit of benchmark-decontamination matching."""
+    toks = F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(wins)
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, bench_id, shared_ngrams)`` for
+    every corpus document sharing ≥ ``min_shared`` distinct word ``n``-grams
+    with some benchmark document — the standard train/test-leakage check a
+    training-data pipeline runs before mixing a corpus.
+
+    Scale shape: the benchmark side is small by definition, so its exploded
+    n-gram index is broadcast; the corpus streams through one broadcast hash
+    join + a partially-aggregating groupBy (map-side combine collapses the
+    per-pair n-gram matches before the shuffle).  Self-pairs are excluded so
+    a benchmark drawn from the corpus itself doesn't flag trivially.
+    """
+    csh = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    bsh = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    return (
+        csh.join(F.broadcast(bsh), "g")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
