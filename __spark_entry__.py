@@ -8,7 +8,7 @@
 ``oracle_sql`` — DuckDB twin for every SQL-expressible query (identical
                  column names + rounding; shared primitives verified
                  bit-identical: md5, conv/hex-cast, regexp, arithmetic).
-                 43 of 44 queries are oracled — the synthetic-graph ones by
+                 44 of 45 queries are oracled — the synthetic-graph ones by
                  regenerating the deterministic class-level edge structure
                  inside DuckDB (see ``_graph_oracle_edges``); only
                  ``graph_pagerank`` (floating-point power iteration) is
@@ -66,7 +66,7 @@ from wikipath_spark.operators.similarity import (
 )
 from wikipath_spark.operators.triangles import triangle_count, triangles_per_vertex
 from wikipath_spark.plans.build import build_graph
-from wikipath_spark.plans.curate import curate_corpus
+from wikipath_spark.plans.curate import curate_corpus, sample_mixture
 from wikipath_spark.sources.synthetic import synthetic_repos
 from wikipath_spark.streaming.events import windowed_event_counts
 
@@ -339,6 +339,17 @@ def q_simhash_pairs(spark, sf):  # banded SimHash near-dup: pigeonhole buckets +
 
 def q_events_windowed(spark, sf):
     return windowed_event_counts(_t(spark, sf, "events"))
+
+
+_MIX_FRACTIONS = {"en": 0.7, "de": 0.4, "fr": 0.2}
+
+
+def q_sample_mixture(spark, sf):
+    """Deterministic training-mixture sampling: per-language keep fractions
+    via portable hash thresholds — membership is a pure function of the row
+    key, so the mix is identical on any engine/partitioning (unlike
+    DataFrame.sample) and exactly oracle-able."""
+    return sample_mixture(_t(spark, sf, "documents"), _MIX_FRACTIONS)
 
 
 def q_contamination(spark, sf):
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "contamination": q_contamination,
+        "sample_mixture": q_sample_mixture,
         "curated_corpus": q_curated_corpus,
         "events_windowed": q_events_windowed,
         "media_features": q_media_features,
@@ -1065,6 +1077,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "sample_mixture": f"""
+            WITH scored AS (
+                SELECT doc_id, {lang_counts},
+                       {_h60("CAST(doc_id AS VARCHAR)", 17)} % 1000000 AS h
+                FROM documents
+            ), l AS (
+                SELECT doc_id, {_LANG_CASE} AS lang_guess, h FROM scored
+            )
+            SELECT doc_id, lang_guess FROM l
+            WHERE {' OR '.join(f"(lang_guess = '{lg}' AND h < {int(round(fr * 1_000_000))})"
+                               for lg, fr in _MIX_FRACTIONS.items())}
         """,
         "contamination": """
             WITH ctoks AS (

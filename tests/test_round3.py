@@ -255,6 +255,29 @@ def test_k_core_random_graphs_vs_python(spark, edges_df):
             assert got == want, f"trial {trial} k={k}"
 
 
+def test_sample_mixture_deterministic_and_gated(spark):
+    from wikipath_spark.plans.curate import deterministic_sample, sample_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox is a common english test sentence") for i in range(400)]
+        + [(1000 + i, "der schnelle braune fuchs und der hund sind nicht da") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = sample_mixture(docs, {"en": 0.5})  # de unlisted -> dropped
+    rows = {(r.doc_id, r.lang_guess) for r in out.collect()}
+    assert rows and all(lg == "en" for _, lg in rows)
+    # determinism across partitioning
+    rows2 = {(r.doc_id, r.lang_guess) for r in sample_mixture(docs.repartition(7), {"en": 0.5}).collect()}
+    assert rows == rows2
+    # fraction is approximately honored (hash threshold over 400 en docs)
+    assert 120 <= len(rows) <= 280
+
+    # deterministic_sample: subset property — smaller fraction nests in larger
+    small = {r.doc_id for r in deterministic_sample(docs, 0.2).collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, 0.6).collect()}
+    assert small <= big
+
+
 def test_contamination_flags_planted_leak(spark):
     from wikipath_spark.operators.dedup import contamination_pairs
 

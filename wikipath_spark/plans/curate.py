@@ -18,8 +18,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wikipath_spark.functions.text import lang_id, quality_score
+from wikipath_spark.functions.text import h60, lang_id, quality_score
 from wikipath_spark.operators.dedup import _fan_out, ngram_jaccard_pairs
+
+_SAMPLE_MOD = 1_000_000  # hash-threshold resolution: fractions to 1e-6
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Reproducible Bernoulli-style sample: keep rows whose portable 60-bit
+    key hash falls under ``fraction`` of the hash space.
+
+    Unlike ``DataFrame.sample`` (partition-layout-dependent RNG), membership
+    here is a pure function of the ROW KEY — the same rows are selected on
+    any engine, any partitioning, any cluster size, and re-runs are
+    idempotent.  That is the property a training-data mixture needs: the
+    sampled subset is citable and re-derivable.  Hash = the md5-based h60
+    (DuckDB-portable), thresholded at 1e-6 resolution.
+    """
+    thresh = int(round(fraction * _SAMPLE_MOD))
+    return df.filter(
+        F.pmod(h60(F.col(key_col).cast("string"), seed), F.lit(_SAMPLE_MOD)) < thresh
+    )
+
+
+def sample_mixture(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic training-mixture sampling: per-language keep fractions
+    (e.g. ``{"en": 0.9, "de": 0.5}``; unlisted languages drop).  Returns
+    ``(doc_id, lang_guess)`` of the sampled mix.  One scan — the language
+    gate and the hash threshold are a single projected filter, and the
+    selection is engine/partitioning-independent (see
+    :func:`deterministic_sample`)."""
+    scored = _fan_out(documents).select(
+        F.col(id_col).alias("doc_id"),
+        lang_id(F.col(text_col)).alias("lang_guess"),
+        F.pmod(h60(F.col(id_col).cast("string"), seed), F.lit(_SAMPLE_MOD)).alias("_h"),
+    )
+    thresh = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(round(kv[1] * _SAMPLE_MOD)))]
+    )
+    return (
+        scored.withColumn("_t", thresh.getItem(F.col("lang_guess")))
+        .filter(F.col("_h") < F.coalesce(F.col("_t"), F.lit(0)))
+        .select("doc_id", "lang_guess")
+    )
 
 
 def curate_corpus(
