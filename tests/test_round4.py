@@ -1,0 +1,163 @@
+"""Round-4 regression tests: the round-3 ADVICE items (word_ngrams short-doc
+crash, pagerank_fixedpoint source hygiene, dedup_events orderability, serve
+LRU cap) plus the serve-path point-lookup shape (driver-side dict index —
+LMDB point-read parity, reference database.rs:199-205)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikipath_spark.api import LinkGraphService
+from wikipath_spark.operators.dedup import contamination_pairs, word_ngrams
+from wikipath_spark.operators.pagerank import pagerank_fixedpoint
+from wikipath_spark.plans.build import build_graph
+from wikipath_spark.plans.catalog import DatasetCatalog
+from wikipath_spark.sources.synthetic import synthetic_repos
+from wikipath_spark.streaming.dedup import dedup_events
+
+
+# --- word_ngrams: documents shorter than n must not crash (ADVICE high) ----
+
+
+def test_word_ngrams_short_and_empty_docs(spark):
+    # sequence(1, 0) is DESCENDING in Spark; un-guarded slice(toks, 0, n)
+    # threw INVALID_PARAMETER_VALUE.START on any doc with < n tokens
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "exactly five tokens right here"),
+         (4, "a b c d e f g")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.g for r in df.select(
+        "doc_id", word_ngrams(F.col("text"), 5).alias("g")).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["exactly five tokens right here"]
+    assert len(out[4]) == 3
+
+
+def test_contamination_tolerates_short_docs(spark):
+    corpus = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, "shared five gram sequence here indeed")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(101, "shared five gram sequence here")], ["doc_id", "text"]
+    )
+    rows = contamination_pairs(corpus, bench, min_shared=1).collect()
+    assert [(r.doc_id, r.bench_id) for r in rows] == [(3, 101)]
+
+
+# --- dedup_events: non-orderable columns + null timestamps (ADVICE low) ----
+
+
+def test_dedup_events_map_column_and_null_ts(spark):
+    df = spark.createDataFrame(
+        [(1, None, {"k": "x"}, "b"), (1, 5, {"k": "y"}, "a"),
+         (1, 7, {"k": "z"}, "a"), (2, None, {"q": "w"}, "c")],
+        "k int, ts int, m map<string,string>, v string",
+    )
+    out = {r.k: r for r in dedup_events(df, ["k"], "ts").collect()}
+    # null ts sorts AFTER non-null: the ts=5 row wins for key 1
+    assert out[1].ts == 5 and out[1].v == "a" and out[1].m == {"k": "y"}
+    # a key whose rows are ALL null-ts still yields its (only) row
+    assert out[2].ts is None and out[2].v == "c"
+
+
+def test_dedup_events_rejects_non_orderable_tie_break(spark):
+    df = spark.createDataFrame(
+        [(1, 5, {"k": "y"})], "k int, ts int, m map<string,string>"
+    )
+    with pytest.raises(ValueError, match="non-orderable"):
+        dedup_events(df, ["k"], "ts", tie_break=["m"])
+
+
+# --- pagerank_fixedpoint source hygiene (ADVICE low) -----------------------
+
+
+def test_personalized_pagerank_dedups_sources(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)], ["src", "dst"])
+    dup = sorted(map(tuple, pagerank_fixedpoint(e, sources=[2, 1, 1, 2]).collect()))
+    ded = sorted(map(tuple, pagerank_fixedpoint(e, sources=[2, 1]).collect()))
+    assert dup == ded
+
+
+def test_personalized_pagerank_rejects_unknown_source(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(ValueError, match="not in the vertex set"):
+        pagerank_fixedpoint(e, sources=[1, 999])
+
+
+# --- serve path: driver-side point index + LRU pin cap ---------------------
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse_r4"))
+    g = build_graph(spark, synthetic_repos(spark, classes_per_repo=100, repos=1))
+    commit = g.pages.select("commit").first().commit
+    cat = DatasetCatalog(spark, root)
+    cat.save("repoA", commit, g)
+    cat.save("repoB", commit, g)
+    cat.save("repoC", commit, g)
+    return cat, commit
+
+
+def test_point_lookup_runs_zero_spark_jobs(spark, catalog):
+    """Reference parity: a pinned small dataset serves title→id and id→title
+    from a driver-side dict (LMDB B-tree point read, database.rs:199-205) —
+    ZERO Spark jobs per probe, not even an in-memory columnar scan."""
+    cat, commit = catalog
+    svc = LinkGraphService(cat)
+    ds = svc._open("repoA", commit)          # pin (runs jobs; outside group)
+    assert ds.by_fkey is not None and ds.by_id is not None
+    sc = spark.sparkContext
+    sc.setJobGroup("r4_point_lookup", "probe")
+    try:
+        pid = svc._page_id(ds, "src/pkg1/mod3.py")
+        missing = svc._page_id(ds, "nope.py")
+    finally:
+        sc.setJobGroup("r4_point_lookup_done", "done")
+    assert pid is not None and missing is None
+    assert sc.statusTracker().getJobIdsForGroup("r4_point_lookup") == []
+    svc.refresh()
+
+
+def test_point_lookup_case_fold_matches_spark_fkey(spark, catalog):
+    """The driver-side fold twin must agree with the Spark fkey column —
+    case/accent-mangled queries resolve identically to round 3."""
+    cat, commit = catalog
+    svc = LinkGraphService(cat)
+    out = svc.shortest_paths("repoA", commit, "SRC/Pkg1/MOD3.PY", "src/pkg0/mod0.py")
+    assert out["length"] == 1 and out["count"] == 1
+    assert out["paths"] == [["src/pkg1/mod3.py", "src/pkg0/mod0.py"]]
+    svc.refresh()
+
+
+def test_large_dataset_falls_back_to_pinned_frame_probe(spark, catalog):
+    cat, commit = catalog
+    svc = LinkGraphService(cat, driver_index_max_rows=0)  # force the big path
+    ds = svc._open("repoA", commit)
+    assert ds.by_fkey is None and ds.by_id is None
+    assert svc._page_id(ds, "src/pkg1/mod3.py") is not None
+    assert svc._page_id(ds, "nope.py") is None
+    out = svc.shortest_paths("repoA", commit, "src/pkg1/mod3.py", "src/pkg0/mod0.py")
+    assert out["length"] == 1
+    svc.refresh()
+
+
+def test_pinned_lru_evicts_and_unpersists(spark, catalog):
+    """ADVICE: _pinned must not grow without bound — the oldest dataset is
+    evicted AND its frames unpersisted when the cap is hit (the reference
+    keeps only the live datasets open, serve.rs:68-100)."""
+    cat, commit = catalog
+    svc = LinkGraphService(cat, max_pinned=2)
+    a = svc._open("repoA", commit)
+    svc._open("repoB", commit)
+    # touching A makes B the LRU entry
+    svc._open("repoA", commit)
+    svc._open("repoC", commit)
+    assert set(svc._pinned) == {("repoA", commit), ("repoC", commit)}
+    # evicted B's frames are unpersisted; surviving A's remain pinned
+    assert a.lookup.storageLevel.useMemory
+    svc.refresh()
+    assert not svc._pinned

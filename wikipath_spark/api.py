@@ -38,9 +38,17 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
 
-from wikipath_spark.functions.text import fold_accents
+from wikipath_spark.functions.text import _ACCENTS, _PLAIN, fold_accents
 from wikipath_spark.operators.bfs import enumerate_paths, shortest_paths
 from wikipath_spark.plans.catalog import DatasetCatalog
+
+_FOLD = str.maketrans(_ACCENTS, _PLAIN)
+
+
+def _fold_key(s: str) -> str:
+    """Driver-side twin of ``F.lower(fold_accents(col))`` — same translate
+    table, same lowercasing, so dict probes agree with the Spark fkey."""
+    return s.translate(_FOLD).lower()
 
 
 @dataclass
@@ -49,12 +57,27 @@ class _PinnedDataset:
 
     tables: object          # GraphTables with persisted edges/redirects
     lookup: object          # persisted (page_id, path, fkey) frame
+    by_fkey: dict | None    # driver-side point index (small datasets):
+    by_id: dict | None      # fkey -> [(page_id, path)…] / page_id -> path
+
+    def unpin(self) -> None:
+        self.lookup.unpersist()
+        self.tables.edges.unpersist()
+        self.tables.redirects.unpersist()
 
 
 @dataclass
 class LinkGraphService:
     catalog: DatasetCatalog
     budget_s: float | None = 10.0  # reference default: 10s (serve.rs:203-206)
+    # LRU cap on simultaneously-pinned datasets: a long-lived serve process
+    # scanning many commits must not accumulate executor storage forever
+    # (the reference keeps exactly the live DBs open, serve.rs:68-100)
+    max_pinned: int = 4
+    # datasets with ≤ this many pages get a driver-side dict index — the
+    # analogue of the reference's LMDB B-tree point read (database.rs:199-205):
+    # title→id and id→title become O(1) hash probes, ZERO Spark jobs/request
+    driver_index_max_rows: int = 2_000_000
     _pinned: dict = field(default_factory=dict, init=False, repr=False)
 
     def list_datasets(self) -> list[dict]:
@@ -68,34 +91,61 @@ class LinkGraphService:
         atomic swap, serve.rs:155-192): the next request re-opens from
         storage, picking up rewritten tables."""
         for ds in self._pinned.values():
-            ds.lookup.unpersist()
-            ds.tables.edges.unpersist()
-            ds.tables.redirects.unpersist()
+            ds.unpin()
         self._pinned.clear()
 
     def _open(self, repo: str, commit: str) -> _PinnedDataset:
         key = (repo, commit)
-        if key not in self._pinned:
-            tables = self.catalog.get(repo, commit)
-            tables.edges = tables.edges.persist()
-            tables.edges.count()  # pin eagerly: supersteps reuse the cache
-            tables.redirects = tables.redirects.persist()
-            lookup = tables.pages.select(
-                "page_id",
-                "path",
-                F.lower(fold_accents(F.col("path"))).alias("fkey"),
-            ).persist()
-            lookup.count()
-            self._pinned[key] = _PinnedDataset(tables=tables, lookup=lookup)
+        if key in self._pinned:
+            self._pinned[key] = self._pinned.pop(key)  # LRU: move to newest
+            return self._pinned[key]
+        tables = self.catalog.get(repo, commit)
+        tables.edges = tables.edges.persist()
+        tables.edges.count()  # pin eagerly: supersteps reuse the cache
+        tables.redirects = tables.redirects.persist()
+        lookup = tables.pages.select(
+            "page_id",
+            "path",
+            F.lower(fold_accents(F.col("path"))).alias("fkey"),
+        )
+        # sort by the probe key before caching: InMemoryTableScan keeps
+        # per-batch min/max stats, so a large dataset's fkey filter prunes
+        # to a handful of cached batches instead of scanning every one
+        lookup = lookup.sortWithinPartitions("fkey").persist()
+        n_pages = lookup.count()
+        by_fkey = by_id = None
+        if n_pages <= self.driver_index_max_rows:
+            # small dataset: one collect at open time buys LMDB-style O(1)
+            # point reads for the life of the pin (no Spark job per request)
+            by_fkey, by_id = {}, {}
+            for r in lookup.collect():
+                by_fkey.setdefault(r.fkey, []).append((r.page_id, r.path))
+                by_id[r.page_id] = r.path
+        # LRU eviction: plain dicts iterate in insertion order and _open
+        # re-inserts on every hit, so the first key is the least recent
+        while len(self._pinned) >= max(1, self.max_pinned):
+            oldest = next(iter(self._pinned))
+            self._pinned.pop(oldest).unpin()
+        self._pinned[key] = _PinnedDataset(
+            tables=tables, lookup=lookup, by_fkey=by_fkey, by_id=by_id
+        )
         return self._pinned[key]
 
     def _page_id(self, ds: _PinnedDataset, path: str) -> int | None:
         """Path → page id, case/accent-insensitively (the reference frontend
         compares titles after lowercasing + accent folding, web/src/misc.ts:
-        13-15), probing the persisted lookup frame — an in-memory columnar
-        scan, not a parquet rescan per request.  An exact-case match wins
+        13-15).  Small datasets probe the driver-side dict index (O(1), zero
+        Spark jobs — LMDB point-read parity, database.rs:199-205); large ones
+        probe the fkey-sorted persisted lookup frame, whose cached-batch
+        min/max stats prune the in-memory scan.  An exact-case match wins
         over a folded match; folded ties break on minimum page_id —
         deterministic either way."""
+        if ds.by_fkey is not None:
+            rows = ds.by_fkey.get(_fold_key(path), [])
+            if not rows:
+                return None
+            exact = [pid for pid, p in rows if p == path]
+            return exact[0] if exact else min(pid for pid, _ in rows)
         rows = (
             ds.lookup.filter(F.col("fkey") == F.lower(fold_accents(F.lit(path))))
             .select("page_id", "path")
@@ -151,12 +201,15 @@ class LinkGraphService:
         # resolve ids back to titles for the response (≈ the frontend's
         # title fetch, web/src/api.ts:93-129 — a probe of the pinned lookup)
         ids = sorted({v for p in id_paths for v in p} | {res.source, res.target})
-        id_to_path = {
-            r.page_id: r.path
-            for r in ds.lookup.filter(F.col("page_id").isin(ids))
-            .select("page_id", "path")
-            .collect()
-        }
+        if ds.by_id is not None:
+            id_to_path = {i: ds.by_id[i] for i in ids if i in ds.by_id}
+        else:
+            id_to_path = {
+                r.page_id: r.path
+                for r in ds.lookup.filter(F.col("page_id").isin(ids))
+                .select("page_id", "path")
+                .collect()
+            }
         out = res.to_dict()
         out.update(
             {

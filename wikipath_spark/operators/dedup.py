@@ -505,10 +505,16 @@ def word_ngrams(col, n: int):
     """Distinct word-level n-grams (lowercased [a-z0-9]+ tokens joined by a
     single space) — the unit of benchmark-decontamination matching."""
     toks = F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, and slice(toks, 0, n) then
+    # throws INVALID_PARAMETER_VALUE.START — so documents with fewer than n
+    # tokens must short-circuit to an empty window list, not rely on greatest().
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(wins)
 
 

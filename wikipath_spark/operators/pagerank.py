@@ -284,8 +284,12 @@ def pagerank_fixedpoint(
     All values stay well inside int64: total mass ≤ scale, per-term
     products ≤ num·scale.
     """
-    if sources is not None and len(sources) == 0:
-        raise ValueError("pagerank_fixedpoint: sources must be non-empty (or None)")
+    if sources is not None:
+        # duplicates would inflate n while isin() dedups, leaking teleport +
+        # dangling mass; ids absent from the vertex set would do the same.
+        sources = [int(s) for s in dict.fromkeys(sources)]
+        if not sources:
+            raise ValueError("pagerank_fixedpoint: sources must be non-empty (or None)")
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("page_id"))
@@ -317,7 +321,16 @@ def pagerank_fixedpoint(
         .localCheckpoint(eager=True)
     )
     r0_val = scale // n
-    dm = r0_val * vflag.filter("is_dangling AND is_jump").count()
+    flags = vflag.agg(
+        F.count(F.when(F.col("is_jump"), 1)).alias("n_jump"),
+        F.count(F.when(F.col("is_dangling") & F.col("is_jump"), 1)).alias("n_dj"),
+    ).first()
+    if sources is not None and flags["n_jump"] != n:
+        raise ValueError(
+            f"pagerank_fixedpoint: {n - flags['n_jump']} source id(s) not in the "
+            "vertex set — personalization mass would leak"
+        )
+    dm = r0_val * flags["n_dj"]
     jump = ((damping_den - damping_num) * scale) // (damping_den * n)
 
     ranks = vflag.select(

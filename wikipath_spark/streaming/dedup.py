@@ -23,18 +23,53 @@ def with_content_key(df: DataFrame, text_col: str = "text", out: str = "content_
     return df.withColumn(out, F.sha2(F.col(text_col), 256))
 
 
-def dedup_events(df: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
-    """Batch semantics twin: first row per key wins — the MINIMUM ``ts_col``
-    row, ties broken by the full remaining row (min struct).  Deterministic
-    across parallelism levels, unlike ``dropDuplicates`` (which keeps an
-    arbitrary partition-order-dependent row)."""
-    other = [c for c in df.columns if c != ts_col]
-    keeper = F.min(F.struct(F.col(ts_col), *[F.col(c) for c in other])).alias("_k")
+def _orderable(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
+def dedup_events(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Batch semantics twin: first row per key wins — the row with the
+    MINIMUM non-null ``ts_col``, ties broken by ``tie_break`` (default: every
+    remaining orderable column, schema order).  Deterministic across
+    parallelism levels, unlike ``dropDuplicates`` (which keeps an arbitrary
+    partition-order-dependent row).
+
+    Null timestamps sort AFTER all non-null ones: a null-``ts`` row is kept
+    only when every row for the key has a null timestamp.  Non-orderable
+    columns (maps, or structs/arrays containing maps) are excluded from the
+    ordering but carried through on the keeper row — rows identical on all
+    orderable columns and differing only in map columns tie arbitrarily."""
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if tie_break is None:
+        tie_break = [c for c in df.columns if c != ts_col and _orderable(schema[c])]
+    else:
+        bad = [c for c in tie_break if not _orderable(schema[c])]
+        if bad:
+            raise ValueError(f"dedup_events: non-orderable tie_break columns {bad}")
+    ts = F.col(ts_col)
+    order = F.struct(
+        ts.isNull().alias("_null_ts"),
+        ts.alias("_ts"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(tie_break)],
+    )
+    keeper = F.min_by(F.struct(*[F.col(c) for c in df.columns]), order).alias("_k")
     return (
         df.groupBy(*key_cols)
         .agg(keeper)
-        .select(*key_cols, *[F.col(f"_k.{c}") for c in [ts_col] + other if c not in key_cols])
-        .select(*df.columns)
+        .select(*[F.col(f"_k.{c}").alias(c) for c in df.columns])
     )
 
 
