@@ -161,3 +161,150 @@ def test_pinned_lru_evicts_and_unpersists(spark, catalog):
     assert a.lookup.storageLevel.useMemory
     svc.refresh()
     assert not svc._pinned
+
+
+# --- checkpoint/resume for the round-3 iterative ops (VERDICT item 2) ------
+
+
+def test_multi_source_bfs_resume_identical(spark, edges_df, tmp_path):
+    """Kill-at-level-k equivalent: an interrupted run (max_depth=4) leaves a
+    committed checkpoint; the resumed run must equal the uninterrupted one."""
+    from wikipath_spark.operators.bfs import multi_source_bfs
+    from wikipath_spark.plans.checkpoint import CheckpointManager
+
+    el = [(i, i + 1) for i in range(12)] + [(3, 20), (20, 21), (21, 22), (5, 0)]
+    df = edges_df(el)
+    srcs = [0, 5]
+    want = sorted(map(tuple, multi_source_bfs(df, srcs).collect()))
+
+    mgr = CheckpointManager(str(tmp_path), "msbfs")
+    multi_source_bfs(df, srcs, max_depth=4, checkpoint_mgr=mgr, checkpoint_interval=2)
+    assert mgr.latest() == 4
+    resumed = multi_source_bfs(
+        df, srcs, checkpoint_mgr=mgr, checkpoint_interval=2, resume=True
+    )
+    assert sorted(map(tuple, resumed.collect())) == want
+
+
+def test_k_core_resume_identical(spark, edges_df, tmp_path):
+    from wikipath_spark.operators.kcore import k_core
+    from wikipath_spark.plans.checkpoint import CheckpointManager
+
+    # a path peels from both ends (one round per layer) into a triangle core
+    el = [(i, i + 1) for i in range(10)] + [(10, 11), (11, 12), (12, 10)]
+    df = edges_df(el)
+    want = sorted(map(tuple, k_core(df, k=2).collect()))
+    assert want  # the triangle survives
+
+    mgr = CheckpointManager(str(tmp_path), "kcore")
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        k_core(df, k=2, max_iter=3, checkpoint_mgr=mgr, checkpoint_interval=2)
+    assert mgr.latest() == 2
+    resumed = k_core(df, k=2, checkpoint_mgr=mgr, checkpoint_interval=2, resume=True)
+    assert sorted(map(tuple, resumed.collect())) == want
+
+
+def test_coreness_resume_identical(spark, edges_df, tmp_path):
+    from wikipath_spark.operators.kcore import coreness
+    from wikipath_spark.plans.checkpoint import CheckpointManager
+
+    el = [(i, i + 1) for i in range(10)] + [(10, 11), (11, 12), (12, 10)]
+    df = edges_df(el)
+    want = sorted(map(tuple, coreness(df).collect()))
+
+    mgr = CheckpointManager(str(tmp_path), "coreness")
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        coreness(df, max_iter=3, checkpoint_mgr=mgr, checkpoint_interval=2)
+    assert mgr.latest() == 2
+    resumed = coreness(df, checkpoint_mgr=mgr, checkpoint_interval=2, resume=True)
+    assert sorted(map(tuple, resumed.collect())) == want
+
+
+# --- wall-clock budgets on the batched/analytics loops (VERDICT item 4) ----
+
+
+def test_budget_s_on_iterative_loops(spark, edges_df):
+    """Every iterative entry point honors budget_s (serve.rs:203-206 parity):
+    a zero budget raises QueryBudgetExceeded at the first superstep boundary."""
+    import pytest as _pytest
+
+    from wikipath_spark.operators.bfs import (
+        QueryBudgetExceeded,
+        bfs_distances,
+        multi_source_bfs,
+    )
+    from wikipath_spark.operators.components import connected_components
+    from wikipath_spark.operators.kcore import coreness, k_core
+    from wikipath_spark.operators.labelprop import label_propagation
+    from wikipath_spark.operators.pagerank import pagerank
+
+    df = edges_df([(1, 2), (2, 3), (3, 1), (3, 4)])
+    for fn in (
+        lambda: multi_source_bfs(df, [1, 2], budget_s=0.0),
+        lambda: bfs_distances(df, 1, budget_s=0.0),
+        lambda: k_core(df, k=2, budget_s=0.0),
+        lambda: coreness(df, budget_s=0.0),
+        lambda: pagerank(df, budget_s=0.0),
+        lambda: connected_components(df, budget_s=0.0),
+        lambda: label_propagation(df, budget_s=0.0),
+    ):
+        with _pytest.raises(QueryBudgetExceeded):
+            fn()
+
+
+def test_budget_timeout_does_not_leak_persisted_frames(spark, edges_df):
+    """A pagerank budget abort mid-loop must unpersist the loop's frames
+    (contrib edges, vertex flags, current ranks) — a long-lived serve session
+    would otherwise accumulate executor storage per timed-out query."""
+    import pytest as _pytest
+
+    from wikipath_spark.operators.bfs import QueryBudgetExceeded
+    from wikipath_spark.operators.pagerank import pagerank
+
+    sc = spark.sparkContext
+
+    def persisted_ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    df = edges_df([(i, (i * 7) % 50) for i in range(200)])
+    spark.catalog.clearCache()
+    before = persisted_ids()
+    with _pytest.raises(QueryBudgetExceeded):
+        pagerank(df, budget_s=0.0)
+    after = persisted_ids()
+    assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+
+def test_checkpoint_save_is_two_jobs(spark, edges_df, tmp_path):
+    """VERDICT item: a durable checkpoint costs exactly TWO jobs — the state
+    write and ONE verified re-read pass (manifest + observed row count for
+    _COMMITTED riding the same action); the old separate count() job is gone."""
+    from wikipath_spark.plans.checkpoint import CheckpointManager
+
+    df = edges_df([(i, i + 1) for i in range(50)]).localCheckpoint(eager=True)
+    mgr = CheckpointManager(str(tmp_path), "jobs")
+    mgr.save(1, df, 0.0)  # warm (committers/codecs init)
+    sc = spark.sparkContext
+    # AQE splits one action into a job per materialized shuffle stage — turn
+    # it off so the job count is deterministic (same caveat as the BFS
+    # job-count test in test_round3)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("r4_ckpt_jobs", "probe")
+    try:
+        out = mgr.save(2, df, 0.0)
+    finally:
+        sc.setJobGroup("r4_ckpt_jobs_done", "done")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert out["rows"] == 50
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("r4_ckpt_jobs"))
+    assert n_jobs == 2, f"checkpoint save ran {n_jobs} jobs, want 2"
+    # and the fused save still round-trips through the verifying loader
+    state, metric = mgr.load(spark, 2)
+    assert state.count() == 50 and metric == 0.0

@@ -44,6 +44,23 @@ class QueryBudgetExceeded(TimeoutError):
     frontier can exceed any latency target, so the serve path needs both."""
 
 
+def wall_budget(budget_s: float | None, what: str):
+    """Deadline closure shared by every iterative loop: call the returned
+    check at each superstep boundary; it raises :class:`QueryBudgetExceeded`
+    once ``budget_s`` seconds have elapsed (``None`` = unbounded).  Checked
+    between supersteps, never mid-shuffle, so state cleanup in the callers'
+    ``finally`` blocks stays well-defined."""
+    deadline = None if budget_s is None else time.monotonic() + budget_s
+
+    def check() -> None:
+        if deadline is not None and time.monotonic() > deadline:
+            raise QueryBudgetExceeded(
+                f"{what} exceeded its {budget_s}s wall-clock budget"
+            )
+
+    return check
+
+
 @dataclass
 class Paths:
     """Result shape of the reference's ``Paths`` struct (search.rs:6-18)."""
@@ -272,6 +289,7 @@ def bfs_distances(
     checkpoint_mgr=None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    budget_s: float | None = None,
 ) -> DataFrame:
     """Single-source BFS distances (level-synchronous frontier loop).
 
@@ -285,6 +303,7 @@ def bfs_distances(
     last committed level.
     """
     spark = edges.sparkSession
+    check_budget = wall_budget(budget_s, "bfs_distances")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # materialize the edge projection once: the frontier join re-reads it
     # every level, and an un-cached caller-derived lineage (scan + distinct +
@@ -310,6 +329,7 @@ def bfs_distances(
     # query).  `visited` stays a union chain of already-checkpointed
     # frontiers: ≤ max_depth RDD-backed branches, no growing lineage.
     for depth in range(start_depth + 1, max_depth + 1):
+        check_budget()
         obs = Observation(f"bfs_{depth}")
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -337,6 +357,10 @@ def multi_source_bfs(
     src: str = "src",
     dst: str = "dst",
     max_depth: int = 30,
+    checkpoint_mgr=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    budget_s: float | None = None,
 ) -> DataFrame:
     """Batched single-source BFS: ``(source, page_id, distance)`` for every
     vertex reachable from each source within ``max_depth`` hops.
@@ -347,15 +371,36 @@ def multi_source_bfs(
     the rows, which is exactly how a batch of queries should scale on a
     cluster, instead of k sequential driver loops).  Each superstep is one
     join + anti-join with the frontier count observed on the checkpointing
-    pass (same discipline as :func:`bfs_distances`)."""
+    pass (same discipline as :func:`bfs_distances`).
+
+    Resumable (north rule): the (source, vertex, distance) visited frame IS
+    the whole loop state — every source advances in lockstep, so the frontier
+    at level d is exactly the distance == d layer — and a batch of k queries
+    is precisely the long-running job worth resuming.  ``budget_s`` applies
+    the serve path's wall-clock cap (serve.rs:203-206) to the batched entry
+    point; the check runs between supersteps, like :func:`shortest_paths`."""
     spark = edges.sparkSession
+    check_budget = wall_budget(budget_s, "multi_source_bfs")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not (edges.storageLevel.useMemory or edges.storageLevel.useDisk):
         e = e.localCheckpoint(eager=True)
     seed = [(int(s), int(s), 0) for s in dict.fromkeys(sources)]
     visited = spark.createDataFrame(seed, "source long, page_id long, distance int")
     frontier = visited.select("source", F.col("page_id").alias("id"))
-    for depth in range(1, max_depth + 1):
+    start_depth = 0
+    if checkpoint_mgr is not None and resume:
+        latest = checkpoint_mgr.latest()
+        if latest is not None:
+            loaded, _ = checkpoint_mgr.load(spark, latest)
+            visited = loaded.select("source", "page_id", "distance").localCheckpoint(
+                eager=True
+            )
+            frontier = visited.filter(F.col("distance") == latest).select(
+                "source", F.col("page_id").alias("id")
+            )
+            start_depth = latest
+    for depth in range(start_depth + 1, max_depth + 1):
+        check_budget()
         obs = Observation(f"msbfs_{depth}")
         cand = (
             frontier.join(e, frontier["id"] == e["src"])
@@ -373,12 +418,15 @@ def multi_source_bfs(
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if int(obs.get["n"] or 0) == 0:
+        n_new = int(obs.get["n"] or 0)
+        if n_new == 0:
             break
         visited = visited.union(
             nxt.select("source", F.col("id").alias("page_id"), F.lit(depth).alias("distance"))
         )
         frontier = nxt
+        if checkpoint_mgr is not None and depth % checkpoint_interval == 0:
+            checkpoint_mgr.save(depth, visited, float(n_new))
     return visited
 
 

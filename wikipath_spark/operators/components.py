@@ -66,6 +66,7 @@ def connected_components(
     checkpoint_mgr=None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    budget_s: float | None = None,
 ) -> DataFrame:
     """Undirected connected components over a directed edge table.
 
@@ -73,6 +74,9 @@ def connected_components(
     Isolated vertices absent from ``edges`` are absent here; union the vertex
     table with identity components if needed (plans/analytics does).
     """
+    from wikipath_spark.operators.bfs import wall_budget
+
+    check_budget = wall_budget(budget_s, "connected_components")
     # symmetrize once; each round operates on the shrinking parent-edge set
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -97,6 +101,7 @@ def connected_components(
     # round — AQE's runtime coalescing is a measured win here (17s vs 48s at
     # sf0.1 with it disabled), so the loop runs under normal session confs.
     for i in range(start_round, max_iter):
+        check_budget()
         ls = _large_star(e)
         # large-star output is asymmetric (child→parent); symmetrize for the
         # next neighborhood computation.  No distinct needed: every ls row

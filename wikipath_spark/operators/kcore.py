@@ -33,6 +33,10 @@ def coreness(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    checkpoint_mgr=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    budget_s: float | None = None,
 ) -> DataFrame:
     """Full core decomposition: ``(page_id, coreness)`` for every vertex —
     the largest k such that the vertex belongs to the k-core.
@@ -52,7 +56,17 @@ def coreness(
     max over the desc-sorted neighbor values e₁ ≥ e₂ ≥ … of min(rank, eᵣ),
     tie-order-free.  Convergence rides on the materializing pass as a
     (count, order-insensitive hash) fingerprint — one action per round.
+
+    Resumable (north rule): the per-vertex estimate frame IS the loop state
+    (``sym`` is a pure function of the input edges), so a durable checkpoint
+    every ``checkpoint_interval`` rounds restarts mid-decomposition; the
+    fingerprint is recomputed from the loaded state in one aggregate.
+    ``budget_s`` bounds wall-clock seconds between rounds
+    (:class:`~wikipath_spark.operators.bfs.QueryBudgetExceeded`).
     """
+    from wikipath_spark.operators.bfs import wall_budget
+
+    check_budget = wall_budget(budget_s, "coreness")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -71,7 +85,20 @@ def coreness(
     w = Window.partitionBy("u").orderBy(F.desc("est"))
     prev_sig: tuple[int, int] | None = None
     converged = False
-    for i in range(max_iter):
+    start_round = 0
+    if checkpoint_mgr is not None and resume:
+        latest = checkpoint_mgr.latest()
+        if latest is not None:
+            loaded, _ = checkpoint_mgr.load(edges.sparkSession, latest)
+            est = loaded.select("page_id", "est").localCheckpoint(eager=True)
+            sig_row = est.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64("page_id", "est"), F.lit(1 << 40))).alias("h"),
+            ).collect()[0]
+            prev_sig = (int(sig_row["n"]), int(sig_row["h"] or 0))
+            start_round = latest
+    for i in range(start_round, max_iter):
+        check_budget()
         nbr = sym.join(est, sym["v"] == est["page_id"]).select("u", "est")
         obs = Observation(f"coreness_{i}")
         new_est = (
@@ -92,6 +119,8 @@ def coreness(
         if converged:
             break
         prev_sig = sig
+        if checkpoint_mgr is not None and (i + 1) % checkpoint_interval == 0:
+            checkpoint_mgr.save(i + 1, est, float(sig[0]))
     if not converged and max_iter > 0:
         warnings.warn(
             f"coreness: no fixpoint after {max_iter} rounds; estimates are an "
@@ -107,12 +136,24 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    checkpoint_mgr=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    budget_s: float | None = None,
 ) -> DataFrame:
     """Vertices of the k-core with their in-core degree: ``(page_id, degree)``.
 
     ``edges`` is directed input; the core is computed on the symmetrized
     self-loop-free graph (degree = number of distinct neighbors).
+
+    Resumable (north rule): the surviving symmetric edge set IS the loop
+    state (peeling only ever shrinks it), checkpointed with the edge count as
+    the convergence metric; ``budget_s`` bounds wall-clock seconds between
+    peel rounds.
     """
+    from wikipath_spark.operators.bfs import wall_budget
+
+    check_budget = wall_budget(budget_s, "k_core")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -121,10 +162,19 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     prev_n = e.count()
+    start_round = 0
+    if checkpoint_mgr is not None and resume:
+        latest = checkpoint_mgr.latest()
+        if latest is not None:
+            loaded, metric = checkpoint_mgr.load(edges.sparkSession, latest)
+            e = loaded.select("u", "v").localCheckpoint(eager=True)
+            prev_n = int(metric)
+            start_round = latest
     converged = prev_n == 0
-    for i in range(max_iter):
+    for i in range(start_round, max_iter):
         if converged:
             break
+        check_budget()
         deg = e.groupBy("u").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
         obs = Observation(f"kcore_{i}")
@@ -138,6 +188,8 @@ def k_core(
         e = e2
         converged = n2 == prev_n or n2 == 0
         prev_n = n2
+        if checkpoint_mgr is not None and not converged and (i + 1) % checkpoint_interval == 0:
+            checkpoint_mgr.save(i + 1, e, float(n2))
     if not converged and max_iter > 0:
         # peeling strictly shrinks until the fixpoint, so this means
         # max_iter rounds were not enough — the returned set OVER-approximates

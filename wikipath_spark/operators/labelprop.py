@@ -34,8 +34,12 @@ def label_propagation(
     checkpoint_mgr=None,
     checkpoint_interval: int = 3,
     resume: bool = False,
+    budget_s: float | None = None,
 ) -> DataFrame:
     """Returns ``(page_id, label)``; label = a community representative id."""
+    from wikipath_spark.operators.bfs import wall_budget
+
+    check_budget = wall_budget(budget_s, "label_propagation")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -67,6 +71,7 @@ def label_propagation(
     prev_sig: tuple[int, int] | None = None
     converged = False
     for it in range(start_it + 1, max_iter + 1):
+        check_budget()
         msgs = sym.join(labels, sym["v"] == labels["page_id"]).select(
             sym["u"].alias("id"), "label"
         )

@@ -73,6 +73,7 @@ def pagerank(
     checkpoint_mgr=None,
     checkpoint_interval: int = 10,
     resume: bool = False,
+    budget_s: float | None = None,
 ) -> PageRankResult:
     """Power-iteration PageRank over a directed ``(src, dst)`` edge table.
 
@@ -93,15 +94,18 @@ def pagerank(
         return _pagerank_loop(
             spark, edges, vertices, damping, tol, max_iter, impl, salt_partials,
             checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
-            resume, n_edges, sc_parts,
+            resume, n_edges, sc_parts, budget_s,
         )
 
 
 def _pagerank_loop(
     spark, edges, vertices, damping, tol, max_iter, impl, salt_partials,
     checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
-    resume, n_edges, sc_parts,
+    resume, n_edges, sc_parts, budget_s=None,
 ) -> PageRankResult:
+    from wikipath_spark.operators.bfs import wall_budget
+
+    check_budget = wall_budget(budget_s, "pagerank")
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("page_id"))
@@ -170,81 +174,107 @@ def _pagerank_loop(
     base = (1.0 - damping) / n
     delta = float("inf")
     it = start_it
-    for it in range(start_it + 1, max_iter + 1):
-        joined = contrib_edges.join(ranks, contrib_edges["src"] == ranks["page_id"])
-        # src rides along only when salting needs it (deterministic per-row
-        # salt source) — otherwise keep the shuffled message row minimal
-        msg_cols = (["src"] if salt_partials > 1 and impl != "csr" else []) + ["dst"]
-        msgs = joined.select(*msg_cols, (F.col("rank") * F.col("w")).alias("contrib"))
-        if impl == "csr":
-            # applyInPandas over hash buckets: Arrow-batched numpy scatter-add
-            sums = (
-                msgs.withColumn("_b", F.pmod(F.xxhash64("dst"), F.lit(sc_parts)))
-                .groupBy("_b")
-                .applyInPandas(
-                    lambda pdf: _csr_partial_sum(pdf[["dst", "contrib"]]),
-                    schema="dst long, partial double",
-                )
-                .groupBy("dst")
-                .agg(F.sum("partial").alias("msum"))
-            )
-        elif salt_partials > 1:
-            # salt bucket from the message's src vertex: row-distinct within a
-            # hub's in-neighborhood (unlike the contrib value, which is equal
-            # across rows at uniform init) and deterministic across runs and
-            # parallelism levels — required for bit-identical ranks
-            sums = salted_sum(
-                msgs, key="dst", value="contrib", salt=salt_partials,
-                out="msum", salt_source="src",
-            )
-        else:
-            sums = msgs.groupBy("dst").agg(F.sum("contrib").alias("msum"))
-
-        const = base + damping * dangling_mass / n
-        # state = (page_id, rank, is_dangling); convergence delta and next
-        # dangling mass ride on df.observe over the SAME materializing pass —
-        # no separate old-vs-new join (SURVEY.md §4.5: no UDF, join-free here
-        # because the old rank is already a column of the state being updated)
-        obs = Observation(f"pr_{it}")
-        new_ranks = (
-            ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
-            .select(
-                "page_id",
-                (F.lit(const) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias("rank"),
-                "is_dangling",
-                F.col("rank").alias("_old"),
-            )
-            .observe(
-                obs,
-                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("d"),
-                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-            )
-            .drop("_old")
+    try:
+        return _pagerank_iterate(
+            spark, ranks, contrib_edges, vflag, dangling_mass, base, damping, n,
+            tol, max_iter, start_it, impl, salt_partials, sc_parts,
+            checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
+            check_budget,
         )
-        if it % checkpoint_every == 0:
-            # eager truncation: measured 2x faster than letting the logical
-            # plan grow even 5 iterations — Catalyst re-analyzes the whole
-            # lineage each superstep otherwise (see BENCH/BASELINE.md)
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        else:
-            new_ranks = new_ranks.persist()
-            new_ranks.count()
-        metrics = obs.get
-        delta, dangling_mass = metrics["d"], metrics["dm"] or 0.0
-        ranks.unpersist()
-        ranks = new_ranks
-        converged_now = delta < tol
-        if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged_now):
-            checkpoint_mgr.save(it, ranks.select("page_id", "rank"), float(delta))
-        if on_superstep is not None:
-            on_superstep(it, ranks, delta)
-        if converged_now:
-            break
+    finally:
+        contrib_edges.unpersist()
+        vertices.unpersist()
+        vflag.unpersist()
 
-    contrib_edges.unpersist()
-    vertices.unpersist()
-    vflag.unpersist()
-    return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
+
+def _pagerank_iterate(
+    spark, ranks, contrib_edges, vflag, dangling_mass, base, damping, n,
+    tol, max_iter, start_it, impl, salt_partials, sc_parts,
+    checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
+    check_budget,
+) -> PageRankResult:
+    delta = float("inf")
+    it = start_it
+    try:
+        for it in range(start_it + 1, max_iter + 1):
+            check_budget()
+            joined = contrib_edges.join(ranks, contrib_edges["src"] == ranks["page_id"])
+            # src rides along only when salting needs it (deterministic per-row
+            # salt source) — otherwise keep the shuffled message row minimal
+            msg_cols = (["src"] if salt_partials > 1 and impl != "csr" else []) + ["dst"]
+            msgs = joined.select(*msg_cols, (F.col("rank") * F.col("w")).alias("contrib"))
+            if impl == "csr":
+                # applyInPandas over hash buckets: Arrow-batched numpy scatter-add
+                sums = (
+                    msgs.withColumn("_b", F.pmod(F.xxhash64("dst"), F.lit(sc_parts)))
+                    .groupBy("_b")
+                    .applyInPandas(
+                        lambda pdf: _csr_partial_sum(pdf[["dst", "contrib"]]),
+                        schema="dst long, partial double",
+                    )
+                    .groupBy("dst")
+                    .agg(F.sum("partial").alias("msum"))
+                )
+            elif salt_partials > 1:
+                # salt bucket from the message's src vertex: row-distinct within a
+                # hub's in-neighborhood (unlike the contrib value, which is equal
+                # across rows at uniform init) and deterministic across runs and
+                # parallelism levels — required for bit-identical ranks
+                sums = salted_sum(
+                    msgs, key="dst", value="contrib", salt=salt_partials,
+                    out="msum", salt_source="src",
+                )
+            else:
+                sums = msgs.groupBy("dst").agg(F.sum("contrib").alias("msum"))
+
+            const = base + damping * dangling_mass / n
+            # state = (page_id, rank, is_dangling); convergence delta and next
+            # dangling mass ride on df.observe over the SAME materializing pass —
+            # no separate old-vs-new join (SURVEY.md §4.5: no UDF, join-free here
+            # because the old rank is already a column of the state being updated)
+            obs = Observation(f"pr_{it}")
+            new_ranks = (
+                ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
+                .select(
+                    "page_id",
+                    (F.lit(const) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias("rank"),
+                    "is_dangling",
+                    F.col("rank").alias("_old"),
+                )
+                .observe(
+                    obs,
+                    F.max(F.abs(F.col("rank") - F.col("_old"))).alias("d"),
+                    F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+                )
+                .drop("_old")
+            )
+            if it % checkpoint_every == 0:
+                # eager truncation: measured 2x faster than letting the logical
+                # plan grow even 5 iterations — Catalyst re-analyzes the whole
+                # lineage each superstep otherwise (see BENCH/BASELINE.md)
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            else:
+                new_ranks = new_ranks.persist()
+                new_ranks.count()
+            metrics = obs.get
+            delta, dangling_mass = metrics["d"], metrics["dm"] or 0.0
+            ranks.unpersist()
+            ranks = new_ranks
+            converged_now = delta < tol
+            if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged_now):
+                checkpoint_mgr.save(it, ranks.select("page_id", "rank"), float(delta))
+            if on_superstep is not None:
+                on_superstep(it, ranks, delta)
+            if converged_now:
+                break
+
+        return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
+    except BaseException:
+        # mid-loop abort (budget timeout, checkpoint-hook bomb): unpersist
+        # the CURRENT state frame — on success it stays persisted for the
+        # caller (documented result contract)
+        ranks.unpersist()
+        raise
 
 
 def pagerank_fixedpoint(

@@ -37,15 +37,26 @@ class CheckpointManager:
         return os.path.join(self.root, self.run_id, f"superstep={superstep}")
 
     def save(self, superstep: int, state: DataFrame, metric: float) -> dict:
-        """Write state + manifest; returns the manifest summary."""
+        """Write state + manifest; returns the manifest summary.
+
+        Exactly TWO jobs: the state write, and ONE verified re-read pass that
+        both produces the per-partition manifest and (via ``df.observe``
+        riding the same action) the total row count for ``_COMMITTED`` — the
+        separate ``reread.count()`` job was pure overhead at short checkpoint
+        cadences."""
+        from pyspark.sql import Observation
+
         d = self._dir(superstep)
         state_dir = os.path.join(d, "state")
         state.write.mode("overwrite").parquet(state_dir)
 
-        reread = state.sparkSession.read.parquet(state_dir)
+        # schema passed explicitly: an inferred read adds a footer-scan job
+        reread = state.sparkSession.read.schema(state.schema).parquet(state_dir)
         cols = [F.col(c) for c in reread.columns]
+        obs = Observation(f"ckpt_{self.run_id}_{superstep}")
         manifest = (
-            reread.withColumn("part_id", F.spark_partition_id())
+            reread.observe(obs, F.count(F.lit(1)).alias("n"))
+            .withColumn("part_id", F.spark_partition_id())
             .withColumn("_h", F.pmod(F.xxhash64(*cols), F.lit(1 << 31)))
             .groupBy("part_id")
             .agg(F.count("*").alias("rows"), F.sum("_h").alias("checksum"))
@@ -55,7 +66,7 @@ class CheckpointManager:
             .select("run_id", "superstep", "part_id", "rows", "checksum", "metric")
         )
         manifest.write.mode("overwrite").parquet(os.path.join(d, "manifest"))
-        total = reread.count()
+        total = int(obs.get["n"] or 0)
         with open(os.path.join(d, "_COMMITTED"), "w") as f:
             json.dump({"superstep": superstep, "rows": total, "metric": metric}, f)
         return {"superstep": superstep, "rows": total, "metric": metric}
