@@ -57,7 +57,7 @@ from wikipath_spark.operators.dedup import (
 )
 from wikipath_spark.operators.kcore import coreness, k_core
 from wikipath_spark.operators.labelprop import label_propagation
-from wikipath_spark.operators.pagerank import pagerank, pagerank_fixedpoint
+from wikipath_spark.operators.pagerank import pagerank, pagerank_fixedpoint, pagerank_multi
 from wikipath_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
@@ -486,6 +486,29 @@ def q_graph_pagerank_fixed(spark, sf):
 _PRF_SOURCES = (0, 3)  # repo00 python hub (q=0) and its neighbor class q=1
 
 
+def q_graph_pagerank_multi(spark, sf):  # rows-only: float vector ranks
+    """Wide-state batched personalized PageRank: one loop carries a length-2
+    rank VECTOR per vertex (components seeded at the graph_pagerank_personalized
+    seeds), aggregated by the CSR/Arrow 2-D scatter-add kernel — the workload
+    where the Arrow crossing beats the JVM aggregate (scripts/
+    bench_widestate.py; BENCH/BASELINE.md).  Float output ⇒ rows-only here
+    (hash-exact float vectors are impossible across engines); correctness is
+    carried by the numpy oracle + csr≡sql (1e-12) + per-component ranking ≡
+    the ORACLED integer twin graph_pagerank_personalized
+    (tests/test_round4.py)."""
+    g = _synthetic_graph(spark)
+    verts = _keyed_pages(g).select(F.col("vkey").alias("page_id"))
+    out = pagerank_multi(
+        _graph_vkey_edges(g), list(_PRF_SOURCES), vertices=verts, iters=_PRF_ITERS,
+        impl="csr",
+    )
+    return out.select(
+        F.col("page_id").alias("vkey"),
+        *[F.round(F.element_at("ranks", i + 1), 8).alias(f"rank_{s}")
+          for i, s in enumerate(_PRF_SOURCES)],
+    )
+
+
 def q_graph_pagerank_personalized(spark, sf):
     """Personalized fixed-point PageRank: teleport + dangling mass return to
     a 2-vertex seed set instead of everywhere — ranks measure proximity to
@@ -655,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
+        "graph_pagerank_multi": q_graph_pagerank_multi,
         "graph_components": q_graph_components,
         "graph_labels": q_graph_labels,
         "graph_kcore": q_graph_kcore,

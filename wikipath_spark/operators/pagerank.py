@@ -420,3 +420,214 @@ def pagerank_numpy_oracle(edge_list, n=None, damping=0.85, tol=1e-6, max_iter=10
             break
         r = new
     return dict(zip(ids.tolist(), r.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# Wide-state (vector-rank) PageRank: k personalized walks in one loop
+# ---------------------------------------------------------------------------
+
+
+def _csr_partial_vecsum(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vector twin of :func:`_csr_partial_sum`: per-group scatter-add of
+    (rows, k) contribution MATRICES by dst — one ``np.add.at`` over a 2-D
+    array, so the per-row Arrow/pandas overhead is amortized over all k
+    components at once (this is where the CSR kernel beats the JVM path:
+    the SQL formulation must explode k rows per message)."""
+    dst_codes, dst_uniques = pd.factorize(pdf["dst"], sort=False)
+    mat = np.vstack(pdf["vec"].to_numpy())
+    sums = np.zeros((len(dst_uniques), mat.shape[1]), dtype=np.float64)
+    np.add.at(sums, dst_codes, mat)
+    return pd.DataFrame({"dst": dst_uniques, "vec": list(sums)})
+
+
+def pagerank_multi(
+    edges: DataFrame,
+    seeds: list[int],
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    iters: int = 20,
+    impl: str = "csr",
+    budget_s: float | None = None,
+) -> DataFrame:
+    """k personalized PageRank walks computed simultaneously: the per-vertex
+    state is a length-k rank VECTOR (component i = personalized PageRank
+    seeded at ``seeds[i]``), updated by one shared superstep loop over one
+    shared edge structure — the batched form of the relatedness query a
+    serving layer answers per seed (and of ``graph_pagerank_personalized``).
+
+    This is the wide-state workload the CSR kernel exists for (VERDICT r3
+    item 7): at one double of state per vertex the Arrow crossing loses to
+    the JVM hash aggregate (BENCH/BASELINE.md, −34%), but with k doubles the
+    kernel moves k values per Arrow row while the pure-SQL twin must
+    posexplode into k×|E| rows through the shuffle.
+
+    impls (bit-for-bit different summation orders, equal within 1e-12):
+
+    - ``"csr"``     — messages stay ONE row carrying an array<double>;
+      aggregation is a 2-D ``np.add.at`` inside ``applyInPandas`` over
+      dst-hash buckets (each dst in exactly one bucket ⇒ sums are final).
+    - ``"sql"``     — posexplode to (dst, i, contrib), JVM hash aggregate,
+      reassemble with array_sort(collect_list(struct(i, s))).
+    - k separate scalar passes — benchmarked as ``pagerank_multi([s], "sql")``
+      per seed (scripts/bench_widestate.py), the round-3 status quo.
+
+    Fixed ``iters`` supersteps (the benchmark compares equal work; converged
+    personalized ranks need ~20).  Returns ``(page_id, ranks array<double>)``
+    with Σ_v ranks[v][i] = 1 per component.  Oracle:
+    :func:`pagerank_multi_numpy_oracle` (tests assert allclose 1e-9 and
+    csr == sql within 1e-12)."""
+    from wikipath_spark.operators.bfs import wall_budget
+
+    check_budget = wall_budget(budget_s, "pagerank_multi")
+    seeds = [int(s) for s in dict.fromkeys(seeds)]
+    if not seeds:
+        raise ValueError("pagerank_multi: seeds must be non-empty")
+    k = len(seeds)
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    with loop_confs(spark, rows=n_edges) as sc_parts:
+        if vertices is None:
+            vertices = (
+                edges.select(F.col("src").alias("page_id"))
+                .union(edges.select(F.col("dst").alias("page_id")))
+                .distinct()
+            )
+        vertices = vertices.select("page_id")
+
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        contrib_edges = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .repartition(sc_parts, "src")
+            .persist()
+        )
+        contrib_edges.count()
+
+        srcs = edges.select("src").distinct()
+        # static per-vertex frame: dangling flag + teleport basis vector
+        # slot[i] = 1.0 iff v == seeds[i] (k seed columns folded into one array)
+        slot = F.array(
+            *[F.when(F.col("page_id") == s, 1.0).otherwise(0.0) for s in seeds]
+        )
+        vflag = (
+            vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
+            .select(
+                "page_id",
+                F.col("src").isNull().alias("is_dangling"),
+                slot.alias("slot"),
+            )
+            .repartition(sc_parts, "page_id")
+            .localCheckpoint(eager=True)
+        )
+        n_seed_hits = vflag.agg(
+            F.sum(F.aggregate("slot", F.lit(0.0), lambda a, x: a + x))
+        ).collect()[0][0]
+        if int(n_seed_hits) != k:
+            raise ValueError(
+                f"pagerank_multi: {k - int(n_seed_hits)} seed(s) not in the "
+                "vertex set — personalization mass would leak"
+            )
+
+        ranks = vflag.select(
+            "page_id", "is_dangling", "slot", F.col("slot").alias("ranks")
+        ).localCheckpoint(eager=True)
+        # dangling mass per component rides the checkpointing pass: k scalar
+        # aggregates (element_at is a cheap array index, k is small)
+        dm = [0.0] * k
+        dm_row = ranks.agg(
+            *[
+                F.sum(
+                    F.when(F.col("is_dangling"), F.element_at("ranks", i + 1)).otherwise(0.0)
+                ).alias(f"dm{i}")
+                for i in range(k)
+            ]
+        ).collect()[0]
+        dm = [float(dm_row[f"dm{i}"] or 0.0) for i in range(k)]
+
+        try:
+            for it in range(1, iters + 1):
+                check_budget()
+                joined = contrib_edges.join(
+                    ranks, contrib_edges["src"] == ranks["page_id"]
+                )
+                msgs = joined.select(
+                    "dst",
+                    F.transform("ranks", lambda x: x * F.col("w")).alias("vec"),
+                )
+                if impl == "csr":
+                    sums = (
+                        msgs.withColumn("_b", F.pmod(F.xxhash64("dst"), F.lit(sc_parts)))
+                        .groupBy("_b")
+                        .applyInPandas(
+                            lambda pdf: _csr_partial_vecsum(pdf[["dst", "vec"]]),
+                            schema="dst long, vec array<double>",
+                        )
+                    )
+                else:
+                    sums = (
+                        msgs.select("dst", F.posexplode("vec").alias("i", "c"))
+                        .groupBy("dst", "i")
+                        .agg(F.sum("c").alias("s"))
+                        .groupBy("dst")
+                        .agg(
+                            F.array_sort(F.collect_list(F.struct("i", "s"))).alias("p")
+                        )
+                        .select("dst", F.transform("p", lambda st: st["s"]).alias("vec"))
+                    )
+                new_vec = F.array(
+                    *[
+                        F.lit(1.0 - damping) * F.element_at("slot", i + 1)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.element_at("vec", i + 1), F.lit(0.0))
+                            + F.lit(dm[i]) * F.element_at("slot", i + 1)
+                        )
+                        for i in range(k)
+                    ]
+                )
+                obs = Observation(f"prm_{it}")
+                new_ranks = (
+                    ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
+                    .select("page_id", "is_dangling", "slot", new_vec.alias("ranks"))
+                    .observe(
+                        obs,
+                        *[
+                            F.sum(
+                                F.when(
+                                    F.col("is_dangling"), F.element_at("ranks", i + 1)
+                                ).otherwise(0.0)
+                            ).alias(f"dm{i}")
+                            for i in range(k)
+                        ],
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                metrics = obs.get
+                dm = [float(metrics[f"dm{i}"] or 0.0) for i in range(k)]
+                ranks = new_ranks
+        finally:
+            contrib_edges.unpersist()
+        return ranks.select("page_id", "ranks")
+
+
+def pagerank_multi_numpy_oracle(edge_list, seeds, n=None, damping=0.85, iters=20):
+    """Driver-side numpy oracle for :func:`pagerank_multi` (tests only):
+    per-seed personalized power iteration with identical semantics."""
+    edges = np.asarray(edge_list, dtype=np.int64)
+    ids = np.unique(edges) if n is None else np.arange(n)
+    idx = {v: i for i, v in enumerate(ids)}
+    src = np.array([idx[s] for s, _ in edges])
+    dst = np.array([idx[d] for _, d in edges])
+    nn, k = len(ids), len(seeds)
+    out_deg = np.bincount(src, minlength=nn)
+    slot = np.zeros((nn, k))
+    for i, s in enumerate(seeds):
+        slot[idx[int(s)], i] = 1.0
+    r = slot.copy()
+    dangling = out_deg == 0
+    for _ in range(iters):
+        dm = r[dangling].sum(axis=0)
+        contrib = np.zeros((nn, k))
+        np.add.at(contrib, dst, r[src] / out_deg[src, None])
+        r = (1.0 - damping) * slot + damping * (contrib + slot * dm[None, :])
+    return {int(v): r[i].tolist() for v, i in idx.items()}
