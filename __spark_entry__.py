@@ -965,6 +965,43 @@ _LANG_CASE = f"""
 """
 
 
+def _cc_minprop_oracle(rounds: int) -> str:
+    """Connected components of the copurchase graph as ROUNDS unrolled
+    min-label-propagation steps (l'(v) = min(l(v), min over neighbors)) —
+    replaces the round-3 transitive-closure CTE, whose ``reach`` state is
+    O(n · |component|) pairs (441M at sf0.1; it was the one oracle that hung
+    the full-scale gate).  Min-propagation state is O(n) per round and the
+    fixpoint equals min-id-per-component, the engine's output.  Exactness:
+    the winning label travels one hop per round, so ``rounds`` ≥ the
+    eccentricity of each component's min vertex suffices; the sf0.1 BFS
+    oracle measures that eccentricity ≤ 12 (every vertex reached within
+    depth 12), and extra rounds are idempotent — 24 is 2× margin.
+    MATERIALIZED per round for the same multi-reference-inlining reason as
+    the k-core oracle."""
+    parts = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+            l{i} AS MATERIALIZED (
+                SELECT v.id, least(v.lbl, coalesce(min(n.lbl), v.lbl)) AS lbl
+                FROM l{i - 1} v
+                LEFT JOIN sym s ON s.src = v.id
+                LEFT JOIN l{i - 1} n ON n.id = s.dst
+                GROUP BY v.id, v.lbl)""")
+        prev = f"l{i}"
+    return f"""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst FROM lineitem
+        ), sym AS MATERIALIZED (
+            SELECT src, dst FROM e UNION SELECT dst, src FROM e
+        ), l0 AS MATERIALIZED (
+            SELECT DISTINCT src AS id, src AS lbl FROM sym
+        ),
+        {','.join(parts)}
+        SELECT id AS page_id, CAST(lbl AS BIGINT) AS component FROM {prev}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_counts = ", ".join(
         f"len(regexp_extract_all(lower(text), '{pat}')) AS {lg}"
@@ -1044,19 +1081,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, max(o_orderdate) AS latest, count(*) AS n_orders
             FROM orders GROUP BY o_custkey
         """,
-        "cc_copurchase": """
-            WITH RECURSIVE e AS (
-                SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst FROM lineitem
-            ), sym AS (
-                SELECT src, dst FROM e UNION SELECT dst, src FROM e
-            ), reach(a, b) AS (
-                SELECT src, src FROM sym
-                UNION
-                SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
-            )
-            SELECT a AS page_id, CAST(min(b) AS BIGINT) AS component
-            FROM reach GROUP BY a
-        """,
+        "cc_copurchase": _cc_minprop_oracle(rounds=24),
         "bfs_distances": """
             WITH RECURSIVE e AS (
                 SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst FROM lineitem
