@@ -57,7 +57,12 @@ from wikipath_spark.operators.dedup import (
 )
 from wikipath_spark.operators.kcore import coreness, k_core
 from wikipath_spark.operators.labelprop import label_propagation
-from wikipath_spark.operators.pagerank import pagerank, pagerank_fixedpoint, pagerank_multi
+from wikipath_spark.operators.pagerank import (
+    pagerank,
+    pagerank_fixedpoint,
+    pagerank_multi,
+    pagerank_multi_fixedpoint,
+)
 from wikipath_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
@@ -509,6 +514,26 @@ def q_graph_pagerank_multi(spark, sf):  # rows-only: float vector ranks
     )
 
 
+def q_graph_pagerank_multi_fixed(spark, sf):
+    """Hash-exact integer twin of graph_pagerank_multi: the SAME wide-state
+    loop and the SAME CSR/Arrow 2-D scatter-add kernel, but over int64 rank
+    vectors with exact truncating arithmetic — so the DuckDB twin verifies
+    the Arrow kernel's aggregation bit-for-bit (integer sums commute across
+    any physical grouping).  Per-component jump set = its single seed
+    (n = 1), mirrored term-for-term by the oracle."""
+    g = _synthetic_graph(spark)
+    verts = _keyed_pages(g).select(F.col("vkey").alias("page_id"))
+    out = pagerank_multi_fixedpoint(
+        _graph_vkey_edges(g), list(_PRF_SOURCES), vertices=verts,
+        iters=_PRF_ITERS, scale=_PRF_SCALE, impl="csr",
+    )
+    return out.select(
+        F.col("page_id").alias("vkey"),
+        *[F.element_at("ranks", i + 1).alias(f"rank_fp_{sd}")
+          for i, sd in enumerate(_PRF_SOURCES)],
+    )
+
+
 def q_graph_pagerank_personalized(spark, sf):
     """Personalized fixed-point PageRank: teleport + dangling mass return to
     a 2-vertex seed set instead of everywhere — ranks measure proximity to
@@ -679,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank_fixed": q_graph_pagerank_fixed,
         "graph_pagerank_personalized": q_graph_pagerank_personalized,
         "graph_pagerank_multi": q_graph_pagerank_multi,
+        "graph_pagerank_multi_fixed": q_graph_pagerank_multi_fixed,
         "graph_components": q_graph_components,
         "graph_labels": q_graph_labels,
         "graph_kcore": q_graph_kcore,
@@ -833,6 +859,55 @@ def _graph_pagerank_fixed_oracle(sources: tuple[int, ...] | None = None) -> str:
                FROM verts),
         {','.join(parts)}
         SELECT id AS vkey, rank_fp FROM {prev}
+    """
+
+
+def _graph_pagerank_multi_fixed_oracle(seeds: tuple[int, ...]) -> str:
+    """k-column unrolled fixed-point personalized PageRank — the exact
+    integer twin of operators/pagerank.pagerank_multi_fixedpoint: each
+    column j is an independent single-seed walk (jump set = {seeds[j]},
+    n = 1) sharing one CTE chain, term for term with truncating division.
+    Verifying this against the engine's impl="csr" run hash-checks the
+    Arrow 2-D scatter-add kernel itself (integer sums commute, so ANY
+    aggregation strategy must produce these exact bits)."""
+    jump = (15 * _PRF_SCALE) // 100  # n = 1 per component
+    k = len(seeds)
+    parts = []
+    prev = "r0"
+    for r in range(1, _PRF_ITERS + 1):
+        dm_cols = ", ".join(
+            f"CAST(coalesce(sum(c{j}), 0) AS BIGINT) AS v{j}" for j in range(k)
+        )
+        ms_cols = ", ".join(f"sum(r.c{j} // od.c) AS m{j}" for j in range(k))
+        r_cols = ", ".join(
+            f"""CAST(CASE WHEN v.id = {seeds[j]}
+                     THEN {jump} + (85 * (SELECT v{j} FROM dm{r})) // 100
+                     ELSE 0 END
+                 + (85 * coalesce(ms.m{j}, 0)) // 100 AS BIGINT) AS c{j}"""
+            for j in range(k)
+        )
+        parts.append(f"""
+            dm{r} AS (SELECT {dm_cols}
+                      FROM {prev} WHERE id NOT IN (SELECT src FROM od)),
+            ms{r} AS (SELECT e.dst AS id, {ms_cols}
+                      FROM vedges e JOIN {prev} r ON r.id = e.src
+                      JOIN od ON od.src = e.src
+                      GROUP BY e.dst),
+            r{r} AS (SELECT v.id, {r_cols}
+                     FROM verts v LEFT JOIN ms{r} ms ON ms.id = v.id)""")
+        prev = f"r{r}"
+    r0_cols = ", ".join(
+        f"CAST(CASE WHEN id = {seeds[j]} THEN {_PRF_SCALE} ELSE 0 END AS BIGINT) AS c{j}"
+        for j in range(k)
+    )
+    out_cols = ", ".join(f"c{j} AS rank_fp_{seeds[j]}" for j in range(k))
+    return f"""
+        WITH RECURSIVE {_graph_oracle_edges()},
+        verts AS (SELECT ri*{3 * _GRAPH_CLASSES} + q*3 + r AS id FROM qs, langs, reposx),
+        od AS (SELECT src, count(*) AS c FROM vedges GROUP BY src),
+        r0 AS (SELECT id, {r0_cols} FROM verts),
+        {','.join(parts)}
+        SELECT id AS vkey, {out_cols} FROM {prev}
     """
 
 
@@ -1365,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_labels": _graph_labels_oracle(),
         "graph_pagerank_fixed": _graph_pagerank_fixed_oracle(),
         "graph_pagerank_personalized": _graph_pagerank_fixed_oracle(sources=_PRF_SOURCES),
+        "graph_pagerank_multi_fixed": _graph_pagerank_multi_fixed_oracle(_PRF_SOURCES),
         "graph_kcore": _graph_kcore_oracle(_KCORE_K, _KCORE_ORACLE_ROUNDS),
         "graph_coreness": _graph_coreness_oracle(_CORENESS_ORACLE_ROUNDS),
         "graph_multi_bfs": f"""

@@ -375,3 +375,34 @@ def test_pagerank_multi_single_seed_equals_scalar_personalized(spark, edges_df):
     order_vec = sorted(vec, key=lambda v: (-vec[v], v))
     order_fp = sorted(fp, key=lambda v: (-fp[v], v))
     assert order_vec == order_fp
+
+
+def test_pagerank_multi_fixedpoint_bitwise_equivalences(spark, edges_df):
+    """Integer vector twin: csr == sql BITWISE (integer sums commute across
+    any physical aggregation), and each component == the scalar personalized
+    fixed-point run — the chain that lets a DuckDB oracle hash-verify the
+    Arrow 2-D scatter-add kernel itself."""
+    import random
+
+    from wikipath_spark.operators.pagerank import (
+        pagerank_fixedpoint,
+        pagerank_multi_fixedpoint,
+    )
+
+    random.seed(5)
+    el = sorted({(random.randrange(30), random.randrange(30)) for _ in range(150)})
+    el = [(a, b) for a, b in el if a != b]
+    df = edges_df(el)
+    ids = sorted({v for ab in el for v in ab})
+    seeds = [ids[0], ids[-1]]
+    csr = {r.page_id: list(r.ranks) for r in
+           pagerank_multi_fixedpoint(df, seeds, impl="csr").collect()}
+    sql = {r.page_id: list(r.ranks) for r in
+           pagerank_multi_fixedpoint(df, seeds, impl="sql").collect()}
+    assert csr == sql
+    for i, s in enumerate(seeds):
+        single = {r.page_id: r.rank_fp for r in
+                  pagerank_fixedpoint(df, sources=[s]).collect()}
+        assert all(csr[v][i] == single[v] for v in csr)
+    with pytest.raises(ValueError, match="not in the vertex set"):
+        pagerank_multi_fixedpoint(df, [ids[0], 10**9])

@@ -435,7 +435,9 @@ def _csr_partial_vecsum(pdf: pd.DataFrame) -> pd.DataFrame:
     the SQL formulation must explode k rows per message)."""
     dst_codes, dst_uniques = pd.factorize(pdf["dst"], sort=False)
     mat = np.vstack(pdf["vec"].to_numpy())
-    sums = np.zeros((len(dst_uniques), mat.shape[1]), dtype=np.float64)
+    # dtype-generic: float64 for the float kernel, int64 for the fixed-point
+    # twin (integer adds are exact, which is what makes that path hash-exact)
+    sums = np.zeros((len(dst_uniques), mat.shape[1]), dtype=mat.dtype)
     np.add.at(sums, dst_codes, mat)
     return pd.DataFrame({"dst": dst_uniques, "vec": list(sums)})
 
@@ -631,3 +633,159 @@ def pagerank_multi_numpy_oracle(edge_list, seeds, n=None, damping=0.85, iters=20
         np.add.at(contrib, dst, r[src] / out_deg[src, None])
         r = (1.0 - damping) * slot + damping * (contrib + slot * dm[None, :])
     return {int(v): r[i].tolist() for v, i in idx.items()}
+
+
+def pagerank_multi_fixedpoint(
+    edges: DataFrame,
+    seeds: list[int],
+    vertices: DataFrame | None = None,
+    iters: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    impl: str = "csr",
+) -> DataFrame:
+    """Bit-portable integer twin of :func:`pagerank_multi`: k single-seed
+    personalized fixed-point PageRank walks as ONE vector loop — per-vertex
+    state is a length-k ``array<long>``, component i seeded at ``seeds[i]``
+    (jump set = {seeds[i]}, n = 1), with EXACT int64 arithmetic term-for-term
+    identical to :func:`pagerank_fixedpoint`:
+
+    - r0[i](v)  = scale · [v = sᵢ]
+    - contrib   = rank div out_deg                       (per edge, per i)
+    - dmᵢ       = Σ rank[i](v) over dangling v
+    - r'[i](v)  = [v = sᵢ] · (jump + (num·dmᵢ) div den) + (num·msumᵢ) div den
+      with jump = ((den−num)·scale) div den
+
+    Because integer sums commute and truncating division is deterministic,
+    ANY aggregation strategy produces the same bits — so running this with
+    ``impl="csr"`` hash-verifies the Arrow 2-D scatter-add kernel itself
+    against a DuckDB SQL twin (driver query ``graph_pagerank_multi_fixed``),
+    closing the rows-only gap of the float vector kernel exactly the way
+    ``graph_pagerank_fixed`` closed the scalar one.  Returns
+    ``(page_id, ranks array<long>)``."""
+    seeds = [int(s) for s in dict.fromkeys(seeds)]
+    if not seeds:
+        raise ValueError("pagerank_multi_fixedpoint: seeds must be non-empty")
+    k = len(seeds)
+    spark = edges.sparkSession
+    n_edges = edges.count()
+    jump = ((damping_den - damping_num) * scale) // damping_den  # n = 1
+    with loop_confs(spark, rows=n_edges) as sc_parts:
+        if vertices is None:
+            vertices = (
+                edges.select(F.col("src").alias("page_id"))
+                .union(edges.select(F.col("dst").alias("page_id")))
+                .distinct()
+            )
+        vertices = vertices.select("page_id")
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
+        edges_od = (
+            edges.select("src", "dst").join(out_deg, "src")
+            .repartition(sc_parts, "src")
+            .persist()
+        )
+        edges_od.count()
+        srcs = edges.select("src").distinct()
+        slot = F.array(
+            *[
+                F.when(F.col("page_id") == s, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for s in seeds
+            ]
+        )
+        vflag = (
+            vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
+            .select(
+                "page_id",
+                F.col("src").isNull().alias("is_dangling"),
+                slot.alias("slot"),
+            )
+            .repartition(sc_parts, "page_id")
+            .localCheckpoint(eager=True)
+        )
+        n_hits = vflag.agg(
+            F.sum(F.aggregate("slot", F.lit(0).cast("long"), lambda a, x: a + x))
+        ).collect()[0][0]
+        if int(n_hits) != k:
+            raise ValueError(
+                f"pagerank_multi_fixedpoint: {k - int(n_hits)} seed(s) not in "
+                "the vertex set — personalization mass would leak"
+            )
+        ranks = vflag.select(
+            "page_id",
+            "is_dangling",
+            "slot",
+            F.transform("slot", lambda x: x * scale).alias("ranks"),
+        ).localCheckpoint(eager=True)
+        dm_row = ranks.agg(
+            *[
+                F.sum(
+                    F.when(F.col("is_dangling"), F.element_at("ranks", i + 1))
+                    .otherwise(F.lit(0).cast("long"))
+                ).alias(f"dm{i}")
+                for i in range(k)
+            ]
+        ).collect()[0]
+        dm = [int(dm_row[f"dm{i}"] or 0) for i in range(k)]
+        try:
+            for it in range(1, iters + 1):
+                joined = edges_od.join(ranks, edges_od["src"] == ranks["page_id"])
+                msgs = joined.select(
+                    "dst", F.expr("transform(ranks, x -> x div od)").alias("vec")
+                )
+                if impl == "csr":
+                    sums = (
+                        msgs.withColumn("_b", F.pmod(F.xxhash64("dst"), F.lit(sc_parts)))
+                        .groupBy("_b")
+                        .applyInPandas(
+                            lambda pdf: _csr_partial_vecsum(pdf[["dst", "vec"]]),
+                            schema="dst long, vec array<long>",
+                        )
+                    )
+                else:
+                    sums = (
+                        msgs.select("dst", F.posexplode("vec").alias("i", "c"))
+                        .groupBy("dst", "i")
+                        .agg(F.sum("c").alias("s"))
+                        .groupBy("dst")
+                        .agg(F.array_sort(F.collect_list(F.struct("i", "s"))).alias("p"))
+                        .select("dst", F.transform("p", lambda st: st["s"]).alias("vec"))
+                    )
+                # seed term computed in exact Python ints per component
+                seed_terms = [
+                    jump + (damping_num * dm[i]) // damping_den for i in range(k)
+                ]
+                new_vec = F.array(
+                    *[
+                        F.element_at("slot", i + 1) * F.lit(seed_terms[i]).cast("long")
+                        + F.expr(
+                            f"({damping_num} * coalesce(element_at(vec, {i + 1}), 0L)) "
+                            f"div {damping_den}"
+                        )
+                        for i in range(k)
+                    ]
+                )
+                obs = Observation(f"prmf_{it}")
+                new_ranks = (
+                    ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
+                    .select("page_id", "is_dangling", "slot", new_vec.alias("ranks"))
+                    .observe(
+                        obs,
+                        *[
+                            F.sum(
+                                F.when(
+                                    F.col("is_dangling"), F.element_at("ranks", i + 1)
+                                ).otherwise(F.lit(0).cast("long"))
+                            ).alias(f"dm{i}")
+                            for i in range(k)
+                        ],
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                metrics = obs.get
+                dm = [int(metrics[f"dm{i}"] or 0) for i in range(k)]
+                ranks = new_ranks
+        finally:
+            edges_od.unpersist()
+        return ranks.select("page_id", "ranks")
