@@ -181,6 +181,34 @@ def _deltas_vs_prev(timings: dict, calib: dict, query_rates: dict) -> dict:
         return {}
 
 
+def _deltas_vs_healthy(timings: dict) -> dict:
+    """RAW wall-time ratios vs the newest BENCH/healthy_r*.json (per-query
+    min over consecutive runs in a verified window) — a stable anchor that a
+    single noisy-host capture cannot shift, complementing the vs-previous
+    comparison.  Ratios here include whatever slowdown the CURRENT host
+    phase adds, so read them alongside host_calibration.samples."""
+    import glob
+    import re
+
+    recs = []
+    base = os.path.join(os.path.dirname(__file__) or ".", "BENCH", "healthy_r*.json")
+    for path in glob.glob(base):
+        m = re.search(r"healthy_r(\d+)\.json$", path)
+        if m:
+            recs.append((int(m.group(1)), path))
+    if not recs:
+        return {}
+    _, latest = max(recs)
+    try:
+        with open(latest) as f:
+            ref = json.load(f).get("queries") or {}
+        return {
+            q: round(t / ref[q], 3) for q, t in timings.items() if ref.get(q)
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -196,12 +224,23 @@ def main() -> None:
     sampler = _CalibSampler()
     order: list[str] = []
 
-    def timed(name: str, fn) -> object:
+    # WPS_BENCH_REPEATS=k records min-of-k per operator query (steady-state;
+    # the headline kernel queries always run once).  Default 1: the driver's
+    # per-round record stays single-shot/comparable; healthy-record captures
+    # set k=3 (see BENCH/BASELINE.md round-4: per-query troughs hit DISJOINT
+    # victims run to run, so the min is the steady-state number).
+    repeats = max(1, int(os.environ.get("WPS_BENCH_REPEATS", "1")))
+
+    def timed(name: str, fn, reps: int = 1) -> object:
         order.append(name)
         sampler.sample()  # nearest-BEFORE sample for this query
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best, out = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     # ---- headline kernel: build + PageRank on the synthetic link graph
@@ -222,7 +261,7 @@ def main() -> None:
 
     # ---- operator queries at sf_dir
     for name in BENCH_QUERIES:
-        timed(name, lambda name=name: queries[name](spark, sf_dir).count())
+        timed(name, lambda name=name: queries[name](spark, sf_dir).count(), reps=repeats)
 
     sampler.sample()  # trailing sample: nearest-AFTER for the last query
     for i, name in enumerate(order):
@@ -249,9 +288,11 @@ def main() -> None:
             "edges_per_sec": round(edges_per_sec, 1),
         },
         "cores": cpus,
+        "repeats": repeats,
         "host_calibration": calib,
         "query_rates": query_rates,
         "deltas_vs_prev": _deltas_vs_prev(timings, calib, query_rates),
+        "deltas_vs_healthy": _deltas_vs_healthy(timings),
     }
     print(json.dumps(out))
 
