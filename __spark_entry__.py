@@ -1050,7 +1050,11 @@ def _cc_minprop_oracle(rounds: int) -> str:
     the winning label travels one hop per round, so ``rounds`` ≥ the
     eccentricity of each component's min vertex suffices; the sf0.1 BFS
     oracle measures that eccentricity ≤ 12 (every vertex reached within
-    depth 12), and extra rounds are idempotent — 24 is 2× margin.
+    depth 12), and extra rounds are idempotent — 24 is 2× margin.  NB the
+    margin is specific to THIS testdata family (sf ≤ 0.1; copurchase
+    diameter grows slowly with SF): a much larger SF needs proportionally
+    more rounds or the oracle under-converges and the gate reports a false
+    mismatch — raise ``rounds`` if oracle_gate.py is pointed at new scales.
     MATERIALIZED per round for the same multi-reference-inlining reason as
     the k-core oracle."""
     parts = []

@@ -129,7 +129,7 @@ class _CalibSampler:
         self.pool.join()
 
 
-def _deltas_vs_prev(timings: dict, calib: dict, query_rates: dict) -> dict:
+def _deltas_vs_prev(timings: dict, query_rates: dict) -> dict:
     """Per-query wall-time ratio vs the newest recorded BENCH_r*.json,
     normalized by the NEAREST-IN-TIME sha256 calibration samples on both
     sides: ratio = (t_now · rate_now(q) / rate_prev(q)) / t_prev.  Older
@@ -291,7 +291,7 @@ def main() -> None:
         "repeats": repeats,
         "host_calibration": calib,
         "query_rates": query_rates,
-        "deltas_vs_prev": _deltas_vs_prev(timings, calib, query_rates),
+        "deltas_vs_prev": _deltas_vs_prev(timings, query_rates),
         "deltas_vs_healthy": _deltas_vs_healthy(timings),
     }
     print(json.dumps(out))

@@ -59,6 +59,7 @@ def main() -> int:
             results[name] = {"status": "rows_only_no_oracle"}
             continue
         t0 = time.time()
+        con = None
         try:
             sdf = queries[name](spark, sf_dir)
             scols = sorted(sdf.columns)
@@ -95,7 +96,6 @@ def main() -> int:
                 tuple(_canon(dict(zip(dcols_raw, row))[c]) for c in dcols)
                 for row in rows_raw
             )
-            con.close()
             ok = scols == dcols and len(srows) == len(drows) and srows == drows
             results[name] = {
                 "status": "match" if ok else "MISMATCH",
@@ -119,6 +119,9 @@ def main() -> int:
             else:
                 results[name] = {"status": "ERROR", "err": msg[:300]}
                 fails.append(name)
+        finally:
+            if con is not None:
+                con.close()  # a failed oracle must not leak the connection
         print(f"  {name}: {results[name]['status']} "
               f"({results[name].get('rows', '?')} rows, "
               f"{results[name].get('sec', '?')}s)", file=sys.stderr)

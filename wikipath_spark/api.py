@@ -76,8 +76,11 @@ class LinkGraphService:
     max_pinned: int = 4
     # datasets with ≤ this many pages get a driver-side dict index — the
     # analogue of the reference's LMDB B-tree point read (database.rs:199-205):
-    # title→id and id→title become O(1) hash probes, ZERO Spark jobs/request
-    driver_index_max_rows: int = 2_000_000
+    # title→id and id→title become O(1) hash probes, ZERO Spark jobs/request.
+    # Sizing: ~150-250 B per entry across the two dicts, so the default caps
+    # driver heap at ~100 MB per pinned dataset (× max_pinned); larger
+    # datasets fall back to the fkey-sorted cached-frame probe on executors
+    driver_index_max_rows: int = 500_000
     _pinned: dict = field(default_factory=dict, init=False, repr=False)
 
     def list_datasets(self) -> list[dict]:

@@ -116,75 +116,89 @@ def _pagerank_loop(
     n = vertices.count()
     if n == 0:
         empty = vertices.withColumn("rank", F.lit(0.0))
+        vertices.unpersist()
         return PageRankResult(empty, 0, 0.0, True)
 
-    if salt_partials is None:
-        # auto (the default): salt so no hub's in-neighborhood exceeds one
-        # task's budget (SURVEY.md §4.2 — from the degree distribution, once)
-        salt_partials = pick_salt(edges, key="dst", rows_per_task=5_000_000)
-
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # contribution edges: weight = 1/out_deg, partitioned once by src and
-    # reused every superstep (the join's build side never re-shuffles)
-    contrib_edges = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .repartition(sc_parts, "src")
-        .persist()
-    )
-    contrib_edges.count()  # materialize
-
-    # dangling flag lives on the vertex frame so the per-superstep action can
-    # produce next iteration's dangling mass and the convergence delta in ONE
-    # aggregation (one Spark job per superstep, not three)
-    srcs = edges.select("src").distinct()
-    vflag = (
-        vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
-        .select("page_id", F.col("src").isNull().alias("is_dangling"))
-        .repartition(sc_parts, "page_id")
-        .persist()
-    )
-    vflag.count()
-
-    ranks = vflag.select("page_id", F.lit(1.0 / n).alias("rank"), "is_dangling").persist()
-    dangling_mass = (
-        vflag.filter("is_dangling").count() * (1.0 / n)
-    )
-    start_it = 0
-    if checkpoint_mgr is not None and resume:
-        latest = checkpoint_mgr.latest()
-        if latest is not None:
-            loaded, _metric = checkpoint_mgr.load(spark, latest)
-            ranks.unpersist()
-            ranks = (
-                loaded.select("page_id", "rank")
-                .join(vflag, "page_id")
-                .select("page_id", "rank", "is_dangling")
-                .persist()
-            )
-            start_it = latest
-    if start_it > 0:
-        # resumed: recompute the dangling mass of the restored state (1 job)
-        dangling_mass = (
-            ranks.join(vflag.filter("is_dangling"), "page_id", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-    base = (1.0 - damping) / n
-    delta = float("inf")
-    it = start_it
+    # everything persisted below must be released on ANY exit — including a
+    # failure during setup itself (e.g. a corrupt checkpoint raising from
+    # load, or a budget timeout in-loop), not just the happy path: a
+    # long-lived serve session would otherwise accumulate executor storage
+    # per failed call
+    contrib_edges = vflag = ranks = None
     try:
+        if salt_partials is None:
+            # auto (the default): salt so no hub's in-neighborhood exceeds one
+            # task's budget (SURVEY.md §4.2 — from the degree distribution)
+            salt_partials = pick_salt(edges, key="dst", rows_per_task=5_000_000)
+
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+        # contribution edges: weight = 1/out_deg, partitioned once by src and
+        # reused every superstep (the join's build side never re-shuffles)
+        contrib_edges = (
+            edges.join(out_deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+            .repartition(sc_parts, "src")
+            .persist()
+        )
+        contrib_edges.count()  # materialize
+
+        # dangling flag lives on the vertex frame so the per-superstep action
+        # can produce next iteration's dangling mass and the convergence delta
+        # in ONE aggregation (one Spark job per superstep, not three)
+        srcs = edges.select("src").distinct()
+        vflag = (
+            vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
+            .select("page_id", F.col("src").isNull().alias("is_dangling"))
+            .repartition(sc_parts, "page_id")
+            .persist()
+        )
+        vflag.count()
+
+        ranks = vflag.select(
+            "page_id", F.lit(1.0 / n).alias("rank"), "is_dangling"
+        ).persist()
+        dangling_mass = vflag.filter("is_dangling").count() * (1.0 / n)
+        start_it = 0
+        if checkpoint_mgr is not None and resume:
+            latest = checkpoint_mgr.latest()
+            if latest is not None:
+                loaded, _metric = checkpoint_mgr.load(spark, latest)
+                ranks.unpersist()
+                ranks = (
+                    loaded.select("page_id", "rank")
+                    .join(vflag, "page_id")
+                    .select("page_id", "rank", "is_dangling")
+                    .persist()
+                )
+                start_it = latest
+        if start_it > 0:
+            # resumed: recompute the dangling mass of the restored state (1 job)
+            dangling_mass = (
+                ranks.join(vflag.filter("is_dangling"), "page_id", "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+        base = (1.0 - damping) / n
         return _pagerank_iterate(
             spark, ranks, contrib_edges, vflag, dangling_mass, base, damping, n,
             tol, max_iter, start_it, impl, salt_partials, sc_parts,
             checkpoint_every, on_superstep, checkpoint_mgr, checkpoint_interval,
             check_budget,
         )
+    except BaseException:
+        # setup-phase abort: release the initial state frame (in-loop aborts
+        # release the CURRENT frame inside _pagerank_iterate; unpersisting an
+        # already-released frame is a no-op, so both paths are safe)
+        if ranks is not None:
+            ranks.unpersist()
+        raise
     finally:
-        contrib_edges.unpersist()
+        if contrib_edges is not None:
+            contrib_edges.unpersist()
         vertices.unpersist()
-        vflag.unpersist()
+        if vflag is not None:
+            vflag.unpersist()
 
 
 def _pagerank_iterate(
@@ -495,6 +509,8 @@ def pagerank_multi(
                 .distinct()
             )
         vertices = vertices.select("page_id")
+        if vertices.isEmpty():
+            return vertices.withColumn("ranks", F.lit(None).cast("array<double>"))
 
         out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
         contrib_edges = (
@@ -524,7 +540,7 @@ def pagerank_multi(
         n_seed_hits = vflag.agg(
             F.sum(F.aggregate("slot", F.lit(0.0), lambda a, x: a + x))
         ).collect()[0][0]
-        if int(n_seed_hits) != k:
+        if int(n_seed_hits or 0) != k:
             raise ValueError(
                 f"pagerank_multi: {k - int(n_seed_hits)} seed(s) not in the "
                 "vertex set — personalization mass would leak"
@@ -535,7 +551,6 @@ def pagerank_multi(
         ).localCheckpoint(eager=True)
         # dangling mass per component rides the checkpointing pass: k scalar
         # aggregates (element_at is a cheap array index, k is small)
-        dm = [0.0] * k
         dm_row = ranks.agg(
             *[
                 F.sum(
@@ -606,6 +621,10 @@ def pagerank_multi(
                 )
                 metrics = obs.get
                 dm = [float(metrics[f"dm{i}"] or 0.0) for i in range(k)]
+                # release the superseded state frame eagerly — waiting for
+                # driver GC leaves iters × |V| × k checkpointed values cached
+                # simultaneously (the scalar loop has the same discipline)
+                ranks.unpersist()
                 ranks = new_ranks
         finally:
             contrib_edges.unpersist()
@@ -679,6 +698,8 @@ def pagerank_multi_fixedpoint(
                 .distinct()
             )
         vertices = vertices.select("page_id")
+        if vertices.isEmpty():
+            return vertices.withColumn("ranks", F.lit(None).cast("array<long>"))
         out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
         edges_od = (
             edges.select("src", "dst").join(out_deg, "src")
@@ -707,7 +728,7 @@ def pagerank_multi_fixedpoint(
         n_hits = vflag.agg(
             F.sum(F.aggregate("slot", F.lit(0).cast("long"), lambda a, x: a + x))
         ).collect()[0][0]
-        if int(n_hits) != k:
+        if int(n_hits or 0) != k:
             raise ValueError(
                 f"pagerank_multi_fixedpoint: {k - int(n_hits)} seed(s) not in "
                 "the vertex set — personalization mass would leak"
@@ -785,6 +806,7 @@ def pagerank_multi_fixedpoint(
                 )
                 metrics = obs.get
                 dm = [int(metrics[f"dm{i}"] or 0) for i in range(k)]
+                ranks.unpersist()  # same stale-frame discipline as the float loop
                 ranks = new_ranks
         finally:
             edges_od.unpersist()

@@ -56,6 +56,9 @@ def dedup_events(
     if tie_break is None:
         tie_break = [c for c in df.columns if c != ts_col and _orderable(schema[c])]
     else:
+        missing = [c for c in tie_break if c not in schema]
+        if missing:
+            raise ValueError(f"dedup_events: unknown tie_break columns {missing}")
         bad = [c for c in tie_break if not _orderable(schema[c])]
         if bad:
             raise ValueError(f"dedup_events: non-orderable tie_break columns {bad}")
