@@ -261,6 +261,16 @@ def q_triangles_copurchase(spark, sf):  # triangle counting (bipartite → 0, bu
 # --------------------------------------------------- training-data queries
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1):
+    duplicate-line mass and most-frequent-2-gram count per document, emitted
+    as pure integers so the DuckDB twin is hash-exact (the filter RATIOS are
+    one float division away, left to the consumer)."""
+    from wikipath_spark.functions.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
 def q_text_stats(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "triangles_copurchase": q_triangles_copurchase,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1174,6 +1185,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(id AS BIGINT) AS page_id, CAST(min(d) AS INT) AS distance
             FROM walk GROUP BY id
+        """,
+        "repetition_stats": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> length(x) > 0) AS ls,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ), lineagg AS (
+                SELECT doc_id,
+                       CAST(len(ls) AS BIGINT) AS lines,
+                       CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+                       CAST(greatest(len(t) - 1, 0) AS BIGINT) AS ngrams2
+                FROM base
+            ), g AS (
+                SELECT b.doc_id, b.t[u.i] || ' ' || b.t[u.i + 1] AS gram
+                FROM base b, UNNEST(range(1, len(b.t))) AS u(i)
+                WHERE len(b.t) >= 2
+            ), top AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_count
+                FROM (SELECT doc_id, gram, count(*) AS c FROM g
+                      GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.lines, l.dup_lines, l.ngrams2,
+                   CAST(coalesce(top.top2_count, 0) AS BIGINT) AS top2_count
+            FROM lineagg l LEFT JOIN top ON top.doc_id = l.doc_id
         """,
         "text_stats": f"""
             WITH base AS (

@@ -452,3 +452,26 @@ def test_pagerank_multi_empty_and_vector_cleanup(spark, edges_df):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank_multi(empty, [1], iters=2).count() == 0
     assert pagerank_multi_fixedpoint(empty, [1], iters=2).count() == 0
+
+
+def test_repetition_stats_handcrafted(spark):
+    """Gopher repetition gate on constructed documents with known answers."""
+    from wikipath_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines, 2 of them duplicates of each other;
+            # 7 tokens => 6 2-grams; "the cat" and "cat the" each ×2
+            (1, "the cat\nthe cat\n\n  \nthe dog\nend"),
+            (2, ""),                        # nothing at all
+            (3, "one"),                     # 1 line, 1 token, no 2-grams
+            (4, "a a a a"),                 # "a a" ×3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert (out[1].lines, out[1].dup_lines) == (4, 1)
+    assert (out[1].ngrams2, out[1].top2_count) == (6, 2)
+    assert (out[2].lines, out[2].dup_lines, out[2].ngrams2, out[2].top2_count) == (0, 0, 0, 0)
+    assert (out[3].lines, out[3].ngrams2, out[3].top2_count) == (1, 0, 0)
+    assert (out[4].ngrams2, out[4].top2_count) == (3, 3)

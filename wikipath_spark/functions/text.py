@@ -172,6 +172,69 @@ def fingerprint(col: Column, n: int = 5) -> Column:
     return F.array_min(hashed)
 
 
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition statistics per document — the standard
+    quality gate a training-data pipeline applies before mixing a corpus
+    (Rae et al. 2021 §A1.1: drop documents dominated by duplicate lines or
+    by one repeated n-gram).
+
+    Returns all-INTEGER columns so the result is hash-exact across engines
+    (ratios are left to the caller — a float division is the only
+    non-portable step):
+
+    - ``lines``       — non-blank lines (trimmed)
+    - ``dup_lines``   — lines − distinct(lines): mass of repeated lines
+    - ``ngrams2``     — word 2-gram occurrences (tokens − 1, 0 if < 2 tokens)
+    - ``top2_count``  — occurrences of the single most frequent 2-gram
+
+    Scale shape: the line stats are pure per-row array expressions (NO
+    shuffle); the top-2-gram count is one explode + map-side-combinable
+    groupBy on (doc, gram) + max — the same shape as exact dedup.  DuckDB
+    twin: ``repetition_stats`` in ``__spark_entry__.oracle_sql``.
+    """
+    from pyspark.sql import functions as _F
+
+    lines = _F.filter(
+        _F.transform(_F.split(_F.col(text_col), "\n"), lambda x: _F.trim(x)),
+        lambda x: _F.length(x) > 0,
+    )
+    base = df.select(
+        _F.col(id_col).alias("doc_id"),
+        _F.size(lines).cast("long").alias("lines"),
+        (_F.size(lines) - _F.size(_F.array_distinct(lines))).cast("long").alias("dup_lines"),
+        _F.greatest(_F.size(word_tokens(_F.col(text_col))) - 1, _F.lit(0))
+        .cast("long")
+        .alias("ngrams2"),
+        word_tokens(_F.col(text_col)).alias("_toks"),
+    )
+    grams = base.select(
+        "doc_id",
+        _F.explode(
+            _F.when(
+                _F.size("_toks") >= 2,
+                _F.transform(
+                    _F.sequence(_F.lit(1), _F.size("_toks") - 1),
+                    lambda i: _F.concat_ws(" ", _F.slice("_toks", i, 2)),
+                ),
+            ).otherwise(_F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(_F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(_F.max("c").cast("long").alias("top2_count"))
+    )
+    return (
+        base.drop("_toks")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id", "lines", "dup_lines", "ngrams2",
+            _F.coalesce("top2_count", _F.lit(0).cast("long")).alias("top2_count"),
+        )
+    )
+
+
 def simhash60(col: Column) -> Column:
     """60-bit SimHash over word tokens (unweighted).
 
