@@ -261,6 +261,31 @@ def q_triangles_copurchase(spark, sf):  # triangle counting (bipartite → 0, bu
 # --------------------------------------------------- training-data queries
 
 
+def q_pii_scrub(spark, sf):
+    """PII detection + redaction over the documents table, with DETERMINISTIC
+    synthetic PII appended per row (both engines build the same augmented
+    string from doc_id), so counts are non-trivial and the md5 of the
+    redacted text hash-checks the actual scrub output — not just the
+    counters.  Patterns are Java-regex/RE2-portable (functions/text.py
+    PII_PATTERNS)."""
+    from wikipath_spark.functions.text import pii_stats, redact_pii
+
+    d = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@ex.org ip 10."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".0.7 tel 555-123-4567"),
+    )
+    stats = pii_stats(aug)
+    return d.select(
+        "doc_id",
+        stats["email"].alias("email_n"),
+        stats["ipv4"].alias("ipv4_n"),
+        stats["phone"].alias("phone_n"),
+        F.md5(redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1):
     duplicate-line mass and most-frequent-2-gram count per document, emitted
@@ -695,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_copurchase": q_triangles_copurchase,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1185,6 +1211,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(id AS BIGINT) AS page_id, CAST(min(d) AS INT) AS distance
             FROM walk GROUP BY id
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@ex.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.7 tel 555-123-4567' AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(a, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS email_n,
+                   CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ipv4_n,
+                   CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_n,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(a, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+            FROM aug
         """,
         "repetition_stats": """
             WITH base AS (

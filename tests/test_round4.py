@@ -475,3 +475,26 @@ def test_repetition_stats_handcrafted(spark):
     assert (out[2].lines, out[2].dup_lines, out[2].ngrams2, out[2].top2_count) == (0, 0, 0, 0)
     assert (out[3].lines, out[3].ngrams2, out[3].top2_count) == (1, 0, 0)
     assert (out[4].ngrams2, out[4].top2_count) == (3, 3)
+
+
+def test_pii_redaction_planted(spark):
+    """Planted-PII unit test: counts and the scrubbed text itself."""
+    from wikipath_spark.functions.text import pii_stats, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.com and 192.168.1.250 or 555-867-5309 ok"),
+         (2, "clean text, no pii at all"),
+         (3, "two mails a@b.io c@d.org one ip 8.8.8.8")],
+        ["doc_id", "text"],
+    )
+    stats = pii_stats(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        stats["email"].alias("e"), stats["ipv4"].alias("i"), stats["phone"].alias("p"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()}
+    assert (out[1].e, out[1].i, out[1].p) == (1, 1, 1)
+    assert out[1].red == "mail <EMAIL> and <IPV4> or <PHONE> ok"
+    assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
+    assert out[2].red == "clean text, no pii at all"
+    assert (out[3].e, out[3].i, out[3].p) == (2, 1, 0)

@@ -172,6 +172,37 @@ def fingerprint(col: Column, n: int = 5) -> Column:
     return F.array_min(hashed)
 
 
+# PII patterns shared by engine and oracle: kept to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB) — character
+# classes, bounded repeats, \b word boundaries; no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_stats(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (integers — hash-exact across engines).
+    DuckDB twin: ``len(regexp_extract_all(x, pattern))`` per kind."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with ``<KIND>`` — the scrub step a
+    training-data pipeline applies before mixing a corpus.  Patterns are
+    applied in a fixed order (email, ipv4, phone) so the output is
+    deterministic and portable; DuckDB twin: nested
+    ``regexp_replace(..., 'g')`` in the same order."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style repetition statistics per document — the standard
     quality gate a training-data pipeline applies before mixing a corpus
