@@ -261,6 +261,27 @@ def q_triangles_copurchase(spark, sf):  # triangle counting (bipartite → 0, bu
 # --------------------------------------------------- training-data queries
 
 
+_BLOCKLIST = ["site3.example.com", "site5.example.com"]
+
+
+def q_domain_filter(spark, sf):
+    """C4-style domain blocklist gate over documents, with deterministic
+    synthetic URLs appended per row (doc_id % 7 picks the domain, so ~2/7 of
+    rows hit the blocklist — non-trivial on both sides)."""
+    from wikipath_spark.functions.text import domain_filter
+
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/x and http://ok.org/y"),
+        ).alias("text"),
+    )
+    return domain_filter(aug, _BLOCKLIST)
+
+
 def q_pii_scrub(spark, sf):
     """PII detection + redaction over the documents table, with DETERMINISTIC
     synthetic PII appended per row (both engines build the same augmented
@@ -721,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "domain_filter": q_domain_filter,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -1211,6 +1233,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(id AS BIGINT) AS page_id, CAST(min(d) AS INT) AS distance
             FROM walk GROUP BY id
+        """,
+        "domain_filter": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example.com/x and http://ok.org/y' AS a
+                FROM documents
+            ), d AS (
+                SELECT doc_id,
+                       regexp_extract_all(a, 'https?://([a-zA-Z0-9.-]+)', 1) AS doms
+                FROM aug
+            )
+            SELECT doc_id,
+                   CAST(len(doms) AS BIGINT) AS domains_n,
+                   CAST(len(list_filter(doms,
+                        x -> list_contains(['site3.example.com', 'site5.example.com'], x)))
+                        AS BIGINT) AS blocked_n,
+                   len(list_filter(doms,
+                        x -> list_contains(['site3.example.com', 'site5.example.com'], x))) = 0 AS keep
+            FROM d
         """,
         "pii_scrub": r"""
             WITH aug AS (

@@ -498,3 +498,18 @@ def test_pii_redaction_planted(spark):
     assert (out[2].e, out[2].i, out[2].p) == (0, 0, 0)
     assert out[2].red == "clean text, no pii at all"
     assert (out[3].e, out[3].i, out[3].p) == (2, 1, 0)
+
+
+def test_domain_filter_planted(spark):
+    from wikipath_spark.functions.text import domain_filter
+
+    df = spark.createDataFrame(
+        [(1, "links https://bad.example.com/a and http://good.org/b"),
+         (2, "no urls here"),
+         (3, "https://good.org https://bad.example.com http://bad.example.com")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in domain_filter(df, ["bad.example.com"]).collect()}
+    assert (out[1].domains_n, out[1].blocked_n, out[1].keep) == (2, 1, False)
+    assert (out[2].domains_n, out[2].blocked_n, out[2].keep) == (0, 0, True)
+    assert (out[3].domains_n, out[3].blocked_n, out[3].keep) == (3, 2, False)

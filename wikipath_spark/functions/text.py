@@ -172,7 +172,34 @@ def fingerprint(col: Column, n: int = 5) -> Column:
     return F.array_min(hashed)
 
 
-# PII patterns shared by engine and oracle: kept to constructs with
+URL_DOMAIN_RE = r"https?://([a-zA-Z0-9.-]+)"
+
+
+def url_domains(col: Column) -> Column:
+    """All URL host names mentioned in the text (capture group 1).
+    DuckDB twin: ``regexp_extract_all(x, pattern, 1)``."""
+    return F.regexp_extract_all(col, F.lit(URL_DOMAIN_RE), 1)
+
+
+def domain_filter(df, blocklist: list[str], id_col: str = "doc_id", text_col: str = "text"):
+    """C4-style domain blocklist gate: per document, the URL domains found
+    in the text, how many are blocklisted, and the keep verdict (no blocked
+    domain).  The blocklist ships as a literal array in the plan (it is a
+    curated list, small by definition — the broadcast-join shape only pays
+    off for dynamic lists); counting via array_intersect-free membership
+    keeps everything whole-stage-codegen.  Returns all-portable columns
+    (ints + boolean).  DuckDB twin: ``domain_filter`` oracle."""
+    doms = url_domains(F.col(text_col))
+    blocked = F.size(F.filter(doms, lambda d: d.isin([str(b) for b in blocklist])))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(doms).cast("long").alias("domains_n"),
+        blocked.cast("long").alias("blocked_n"),
+        (blocked == 0).alias("keep"),
+    )
+
+
+# PII patterns shared by engine and oracle# PII patterns shared by engine and oracle: kept to constructs with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB) — character
 # classes, bounded repeats, \b word boundaries; no lookaround.
 PII_PATTERNS: dict[str, str] = {
