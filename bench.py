@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "events_windowed",
     "media_features",
+    "repetition_stats",
+    "pii_scrub",
+    "domain_filter",
 ]
 
 # synthetic graph scale for the PageRank kernel benchmark
