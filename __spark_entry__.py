@@ -262,6 +262,11 @@ def q_triangles_copurchase(spark, sf):  # triangle counting (bipartite → 0, bu
 
 
 _BLOCKLIST = ["site3.example.com", "site5.example.com"]
+# shared-with-oracle constants (oracle_sql interpolates these literals)
+from wikipath_spark.functions.text import PII_PATTERNS as _PII  # noqa: E402
+from wikipath_spark.functions.text import URL_DOMAIN_RE as _URL_RE  # noqa: E402
+
+_BLOCK_SQL = "[" + ", ".join(f"'{b}'" for b in _BLOCKLIST) + "]"
 
 
 def q_domain_filter(spark, sf):
@@ -1234,7 +1239,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(id AS BIGINT) AS page_id, CAST(min(d) AS INT) AS distance
             FROM walk GROUP BY id
         """,
-        "domain_filter": r"""
+        "domain_filter": (
+            """
             WITH aug AS (
                 SELECT doc_id,
                        text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
@@ -1242,19 +1248,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), d AS (
                 SELECT doc_id,
-                       regexp_extract_all(a, 'https?://([a-zA-Z0-9.-]+)', 1) AS doms
+                       regexp_extract_all(a, '""" + _URL_RE + """', 1) AS doms
                 FROM aug
             )
             SELECT doc_id,
                    CAST(len(doms) AS BIGINT) AS domains_n,
                    CAST(len(list_filter(doms,
-                        x -> list_contains(['site3.example.com', 'site5.example.com'], x)))
+                        x -> list_contains(""" + _BLOCK_SQL + """, x)))
                         AS BIGINT) AS blocked_n,
                    len(list_filter(doms,
-                        x -> list_contains(['site3.example.com', 'site5.example.com'], x))) = 0 AS keep
+                        x -> list_contains(""" + _BLOCK_SQL + """, x))) = 0 AS keep
             FROM d
-        """,
-        "pii_scrub": r"""
+        """),
+        "pii_scrub": (
+            # interpolated from functions.text.PII_PATTERNS so engine and
+            # oracle literally share one pattern set (no hand-copied drift)
+            """
             WITH aug AS (
                 SELECT doc_id,
                        text || ' contact u' || CAST(doc_id AS VARCHAR)
@@ -1263,16 +1272,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(a, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS email_n,
-                   CAST(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ipv4_n,
-                   CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS phone_n,
+                   CAST(len(regexp_extract_all(a, '""" + _PII["email"] + """')) AS BIGINT) AS email_n,
+                   CAST(len(regexp_extract_all(a, '""" + _PII["ipv4"] + """')) AS BIGINT) AS ipv4_n,
+                   CAST(len(regexp_extract_all(a, '""" + _PII["phone"] + """')) AS BIGINT) AS phone_n,
                    md5(regexp_replace(
                        regexp_replace(
-                           regexp_replace(a, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
-                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+                           regexp_replace(a, '""" + _PII["email"] + """', '<EMAIL>', 'g'),
+                           '""" + _PII["ipv4"] + """', '<IPV4>', 'g'),
+                       '""" + _PII["phone"] + """', '<PHONE>', 'g')) AS redacted_md5
             FROM aug
-        """,
+        """),
         "repetition_stats": """
             WITH base AS (
                 SELECT doc_id,

@@ -186,8 +186,10 @@ def domain_filter(df, blocklist: list[str], id_col: str = "doc_id", text_col: st
     in the text, how many are blocklisted, and the keep verdict (no blocked
     domain).  The blocklist ships as a literal array in the plan (it is a
     curated list, small by definition — the broadcast-join shape only pays
-    off for dynamic lists); counting via array_intersect-free membership
-    keeps everything whole-stage-codegen.  Returns all-portable columns
+    off for dynamic lists).  NB the higher-order filter is CodegenFallback
+    (Spark HOFs break whole-stage codegen) — fine here because the array is
+    tiny per row; a hot path over huge link lists would want explode+join
+    instead.  Returns all-portable columns
     (ints + boolean).  DuckDB twin: ``domain_filter`` oracle."""
     doms = url_domains(F.col(text_col))
     blocked = F.size(F.filter(doms, lambda d: d.isin([str(b) for b in blocklist])))
@@ -199,13 +201,18 @@ def domain_filter(df, blocklist: list[str], id_col: str = "doc_id", text_col: st
     )
 
 
-# PII patterns shared by engine and oracle# PII patterns shared by engine and oracle: kept to constructs with
-# identical semantics in Java regex (Spark) and RE2 (DuckDB) — character
-# classes, bounded repeats, \b word boundaries; no lookaround.
+# PII patterns shared by engine and oracle (the oracle SQL interpolates
+# THESE constants — see __spark_entry__ — so the two sides cannot drift).
+# Kept to constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes and bounded repeats only.  Deliberately NO \b:
+# Java's \b is Unicode-aware while RE2's is ASCII-only, so a non-ASCII
+# letter adjacent to a digit run would make the engines disagree.  The
+# boundary-free forms over-match inside longer alnum runs (e.g. part of a
+# version string) — for a scrub gate, over-redaction is the safe direction.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
 }
 
 
@@ -250,45 +257,43 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     groupBy on (doc, gram) + max — the same shape as exact dedup.  DuckDB
     twin: ``repetition_stats`` in ``__spark_entry__.oracle_sql``.
     """
-    from pyspark.sql import functions as _F
-
-    lines = _F.filter(
-        _F.transform(_F.split(_F.col(text_col), "\n"), lambda x: _F.trim(x)),
-        lambda x: _F.length(x) > 0,
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
     )
     base = df.select(
-        _F.col(id_col).alias("doc_id"),
-        _F.size(lines).cast("long").alias("lines"),
-        (_F.size(lines) - _F.size(_F.array_distinct(lines))).cast("long").alias("dup_lines"),
-        _F.greatest(_F.size(word_tokens(_F.col(text_col))) - 1, _F.lit(0))
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("dup_lines"),
+        F.greatest(F.size(word_tokens(F.col(text_col))) - 1, F.lit(0))
         .cast("long")
         .alias("ngrams2"),
-        word_tokens(_F.col(text_col)).alias("_toks"),
+        word_tokens(F.col(text_col)).alias("_toks"),
     )
     grams = base.select(
         "doc_id",
-        _F.explode(
-            _F.when(
-                _F.size("_toks") >= 2,
-                _F.transform(
-                    _F.sequence(_F.lit(1), _F.size("_toks") - 1),
-                    lambda i: _F.concat_ws(" ", _F.slice("_toks", i, 2)),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, 2)),
                 ),
-            ).otherwise(_F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
     top = (
         grams.groupBy("doc_id", "gram")
-        .agg(_F.count("*").alias("c"))
+        .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(_F.max("c").cast("long").alias("top2_count"))
+        .agg(F.max("c").cast("long").alias("top2_count"))
     )
     return (
         base.drop("_toks")
         .join(top, "doc_id", "left")
         .select(
             "doc_id", "lines", "dup_lines", "ngrams2",
-            _F.coalesce("top2_count", _F.lit(0).cast("long")).alias("top2_count"),
+            F.coalesce("top2_count", F.lit(0).cast("long")).alias("top2_count"),
         )
     )
 
