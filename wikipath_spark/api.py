@@ -34,13 +34,33 @@ Serve-shape parity with the reference's long-lived process:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
 
 from wikipath_spark.functions.text import _ACCENTS, _PLAIN, fold_accents
 from wikipath_spark.operators.bfs import enumerate_paths, shortest_paths
-from wikipath_spark.plans.catalog import DatasetCatalog
+from wikipath_spark.plans.catalog import DatasetCatalog, dataset_name
+
+
+def _dataset_snapshot(base: str) -> tuple:
+    """Cheap on-disk fingerprint of a dataset directory: the sorted
+    (relative-path, mtime_ns, size) of every file under it.  ``catalog.save``
+    rewrites the table dirs, so any rewrite changes the fingerprint — the
+    analogue of the reference's debounced file-watcher event
+    (serve.rs:155-192).  Cost is one os.walk over a handful of parquet
+    part-files, paid once per request on the already-pinned path."""
+    entries = []
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue  # concurrent rewrite: the changed listing suffices
+            entries.append((os.path.relpath(p, base), st.st_mtime_ns, st.st_size))
+    return tuple(sorted(entries))
 
 _FOLD = str.maketrans(_ACCENTS, _PLAIN)
 
@@ -59,6 +79,11 @@ class _PinnedDataset:
     lookup: object          # persisted (page_id, path, fkey) frame
     by_fkey: dict | None    # driver-side point index (small datasets):
     by_id: dict | None      # fkey -> [(page_id, path)…] / page_id -> path
+    redirect_map: dict | None  # src page_id -> dst page_id (small datasets):
+    # folded into the driver index so query-entry redirect resolution (G7)
+    # is the same zero-Spark-job point read as title→id — reference parity:
+    # redirect lookup is the same LMDB point read as titles (search.rs:27-32)
+    snapshot: tuple = ()    # on-disk fingerprint at open time (hot reload)
 
     def unpin(self) -> None:
         self.lookup.unpersist()
@@ -99,9 +124,25 @@ class LinkGraphService:
 
     def _open(self, repo: str, commit: str) -> _PinnedDataset:
         key = (repo, commit)
+        base = os.path.join(self.catalog.root, dataset_name(repo, commit))
         if key in self._pinned:
-            self._pinned[key] = self._pinned.pop(key)  # LRU: move to newest
-            return self._pinned[key]
+            # auto hot-reload (serve.rs:155-192 parity): a dataset rewritten
+            # on disk since it was pinned is dropped and re-opened, no manual
+            # refresh() needed; unchanged datasets keep their cached frames
+            if self._pinned[key].snapshot == _dataset_snapshot(base):
+                self._pinned[key] = self._pinned.pop(key)  # LRU: move to newest
+                return self._pinned[key]
+            self._pinned.pop(key).unpin()
+        # LRU eviction BEFORE the incoming dataset persists anything: evicting
+        # after would transiently hold max_pinned+1 datasets' executor storage
+        # (and driver index heap) at the boundary.  Plain dicts iterate in
+        # insertion order and _open re-inserts on every hit, so the first key
+        # is the least recent.
+        while len(self._pinned) > max(0, self.max_pinned - 1):
+            oldest = next(iter(self._pinned))
+            self._pinned.pop(oldest).unpin()
+        snapshot = _dataset_snapshot(base)  # taken BEFORE reading: a rewrite
+        # racing the open makes the next request's comparison fail → re-open
         tables = self.catalog.get(repo, commit)
         tables.edges = tables.edges.persist()
         tables.edges.count()  # pin eagerly: supersteps reuse the cache
@@ -116,7 +157,7 @@ class LinkGraphService:
         # to a handful of cached batches instead of scanning every one
         lookup = lookup.sortWithinPartitions("fkey").persist()
         n_pages = lookup.count()
-        by_fkey = by_id = None
+        by_fkey = by_id = redirect_map = None
         if n_pages <= self.driver_index_max_rows:
             # small dataset: one collect at open time buys LMDB-style O(1)
             # point reads for the life of the pin (no Spark job per request)
@@ -124,13 +165,16 @@ class LinkGraphService:
             for r in lookup.collect():
                 by_fkey.setdefault(r.fkey, []).append((r.page_id, r.path))
                 by_id[r.page_id] = r.path
-        # LRU eviction: plain dicts iterate in insertion order and _open
-        # re-inserts on every hit, so the first key is the least recent
-        while len(self._pinned) >= max(1, self.max_pinned):
-            oldest = next(iter(self._pinned))
-            self._pinned.pop(oldest).unpin()
+            # fold the compressed redirect map in too: redirect sources are
+            # pages, so |redirects| ≤ n_pages and the collect is bounded by
+            # the same cap.  Query-entry resolution (G7) then runs zero Spark
+            # jobs per request instead of a filter/collect job per endpoint.
+            redirect_map = {
+                r.src: r.dst for r in tables.redirects.select("src", "dst").collect()
+            }
         self._pinned[key] = _PinnedDataset(
-            tables=tables, lookup=lookup, by_fkey=by_fkey, by_id=by_id
+            tables=tables, lookup=lookup, by_fkey=by_fkey, by_id=by_id,
+            redirect_map=redirect_map, snapshot=snapshot,
         )
         return self._pinned[key]
 
@@ -141,14 +185,15 @@ class LinkGraphService:
         Spark jobs — LMDB point-read parity, database.rs:199-205); large ones
         probe the fkey-sorted persisted lookup frame, whose cached-batch
         min/max stats prune the in-memory scan.  An exact-case match wins
-        over a folded match; folded ties break on minimum page_id —
-        deterministic either way."""
+        over a folded match; ties break on minimum page_id in BOTH cases —
+        ``exact[0]`` would be collect/insertion order, which can differ
+        between the dict-index and frame-probe paths."""
         if ds.by_fkey is not None:
             rows = ds.by_fkey.get(_fold_key(path), [])
             if not rows:
                 return None
             exact = [pid for pid, p in rows if p == path]
-            return exact[0] if exact else min(pid for pid, _ in rows)
+            return min(exact) if exact else min(pid for pid, _ in rows)
         rows = (
             ds.lookup.filter(F.col("fkey") == F.lower(fold_accents(F.lit(path))))
             .select("page_id", "path")
@@ -157,7 +202,7 @@ class LinkGraphService:
         if not rows:
             return None
         exact = [r.page_id for r in rows if r.path == path]
-        return exact[0] if exact else min(r.page_id for r in rows)
+        return min(exact) if exact else min(r.page_id for r in rows)
 
     def shortest_paths(
         self,
@@ -196,7 +241,12 @@ class LinkGraphService:
             ds.tables.edges,
             src_id,
             dst_id,
-            redirects=ds.tables.redirects,
+            # small datasets resolve query-entry redirects from the pinned
+            # driver dict (zero Spark jobs — search.rs:27-32 point-read
+            # parity); large ones keep the persisted-frame probe
+            redirects=(
+                ds.redirect_map if ds.redirect_map is not None else ds.tables.redirects
+            ),
             max_supersteps=max_supersteps,
             budget_s=self.budget_s if budget_s is None else budget_s,
         )

@@ -48,3 +48,41 @@ def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently registered with the block manager as
+    persisted (public ``JavaSparkContext.getPersistentRDDs`` surface)."""
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def checkpoint_tracked(df: "DataFrame") -> "DataFrame":
+    """``localCheckpoint(eager=True)`` that remembers which RDD ids the
+    checkpoint persisted, so :func:`release_checkpoint` can actually free
+    them.  ``DataFrame.unpersist()`` is a NO-OP on a localCheckpointed frame:
+    the checkpoint's blocks are an RDD-level persist registered with the
+    BlockManager, not a CacheManager entry, so without this the superseded
+    state of every iteration lingers until the ContextCleaner happens to GC
+    the JVM-side RDD — up to iters x |V| x k values on the wide-state loops."""
+    spark = df.sparkSession
+    before = persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    out._wps_ckpt_rdd_ids = persistent_rdd_ids(spark) - before
+    return out
+
+
+def release_checkpoint(df) -> None:
+    """Free a superseded loop-state frame NOW.  Frames produced by
+    :func:`checkpoint_tracked` drop their checkpoint blocks by RDD id
+    (non-blocking); anything else falls back to ``DataFrame.unpersist()``
+    (correct for plain ``persist()`` frames).  Only call on frames no later
+    computation reads — a localCheckpointed RDD cannot be recomputed."""
+    ids = getattr(df, "_wps_ckpt_rdd_ids", None)
+    if not ids:
+        df.unpersist()
+        return
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)  # None if the ContextCleaner already got it
+        if jrdd is not None:
+            jrdd.unpersist(False)

@@ -85,9 +85,17 @@ class Paths:
         }
 
 
-def _resolve(redirects: DataFrame | None, vertex: int) -> tuple[int, bool]:
+def _resolve(redirects: DataFrame | dict | None, vertex: int) -> tuple[int, bool]:
+    """Query-entry redirect resolution (G7, search.rs:27-32).  ``redirects``
+    may be a compressed-redirect DataFrame (one filter/collect job per
+    endpoint) or a driver-side ``{src: dst}`` dict — the serve layer passes
+    the dict for small pinned datasets so resolution is a zero-Spark-job
+    point read, like the reference's LMDB lookup."""
     if redirects is None:
         return vertex, False
+    if isinstance(redirects, dict):
+        dst = redirects.get(vertex)
+        return (dst, True) if dst is not None else (vertex, False)
     row = redirects.filter(F.col("src") == vertex).select("dst").collect()
     return (row[0].dst, True) if row else (vertex, False)
 
@@ -96,7 +104,7 @@ def shortest_paths(
     edges: DataFrame,
     source: int,
     target: int,
-    redirects: DataFrame | None = None,
+    redirects: DataFrame | dict | None = None,
     max_supersteps: int = 50,
     budget_s: float | None = None,
 ) -> Paths:

@@ -23,6 +23,8 @@ import warnings
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wikipath_spark.operators._loop import checkpoint_tracked, release_checkpoint
+
 
 def _min_neighbor(edges: DataFrame) -> DataFrame:
     """For each u: m(u) = min(N(u) ∪ {u}) over the symmetric edge set."""
@@ -83,8 +85,8 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = checkpoint_tracked(e)
     # convergence check = (row count, order-insensitive hash sum) fingerprint
     # riding on the materializing pass — one action per round instead of the
     # two full sorts an exceptAll comparison costs
@@ -93,7 +95,8 @@ def connected_components(
         latest = checkpoint_mgr.latest()
         if latest is not None:
             loaded, _ = checkpoint_mgr.load(edges.sparkSession, latest)
-            e = loaded.select("u", "v").localCheckpoint(eager=True)
+            release_checkpoint(e)
+            e = checkpoint_tracked(loaded.select("u", "v"))
             start_round = latest
     prev_sig: tuple[int, int] | None = None
     converged = False
@@ -120,11 +123,16 @@ def connected_components(
                 F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 40))).alias("h"),
             )
         )
-        new_e = new_e.localCheckpoint(eager=True)
+        new_e = checkpoint_tracked(new_e)
         # fingerprint equality is probabilistic (40-bit hash-sum + count);
         # collision odds are astronomically small and the cost of a stale
         # match is one extra idempotent round, not a wrong answer
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
+        # drop the superseded round's checkpoint blocks now (the early rounds
+        # hold FULL symmetrized edge sets; DataFrame.unpersist alone is a
+        # no-op on localCheckpointed frames).  The FINAL e stays checkpointed:
+        # the star-forest extraction below reads it lazily.
+        release_checkpoint(e)
         e = new_e
         converged = sig == prev_sig
         if checkpoint_mgr is not None and ((i + 1) % checkpoint_interval == 0 or converged):

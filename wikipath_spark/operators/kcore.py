@@ -27,6 +27,8 @@ import warnings
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wikipath_spark.operators._loop import checkpoint_tracked, release_checkpoint
+
 
 def coreness(
     edges: DataFrame,
@@ -72,13 +74,12 @@ def coreness(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    est = (
+    sym = checkpoint_tracked(sym)
+    est = checkpoint_tracked(
         sym.groupBy("u")
         .agg(F.count("*").cast("long").alias("est"))
         .select(F.col("u").alias("page_id"), "est")
-        .localCheckpoint(eager=True)
     )
     from pyspark.sql.window import Window
 
@@ -90,7 +91,8 @@ def coreness(
         latest = checkpoint_mgr.latest()
         if latest is not None:
             loaded, _ = checkpoint_mgr.load(edges.sparkSession, latest)
-            est = loaded.select("page_id", "est").localCheckpoint(eager=True)
+            release_checkpoint(est)
+            est = checkpoint_tracked(loaded.select("page_id", "est"))
             sig_row = est.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.pmod(F.xxhash64("page_id", "est"), F.lit(1 << 40))).alias("h"),
@@ -111,9 +113,10 @@ def coreness(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.pmod(F.xxhash64("page_id", "est"), F.lit(1 << 40))).alias("h"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_est = checkpoint_tracked(new_est)
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
+        release_checkpoint(est)  # superseded round: drop blocks now
         est = new_est
         converged = sig == prev_sig
         if converged:
@@ -127,6 +130,9 @@ def coreness(
             "upper bound on the true coreness (raise max_iter)",
             stacklevel=2,
         )
+    # the returned select reads only the (checkpointed) final est — the
+    # symmetrized edge frame is done, so drop its blocks before returning
+    release_checkpoint(sym)
     return est.select("page_id", F.col("est").alias("coreness"))
 
 
@@ -159,15 +165,16 @@ def k_core(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = checkpoint_tracked(e)
     prev_n = e.count()
     start_round = 0
     if checkpoint_mgr is not None and resume:
         latest = checkpoint_mgr.latest()
         if latest is not None:
             loaded, metric = checkpoint_mgr.load(edges.sparkSession, latest)
-            e = loaded.select("u", "v").localCheckpoint(eager=True)
+            release_checkpoint(e)
+            e = checkpoint_tracked(loaded.select("u", "v"))
             prev_n = int(metric)
             start_round = latest
     converged = prev_n == 0
@@ -182,9 +189,10 @@ def k_core(
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint(eager=True)
         )
+        e2 = checkpoint_tracked(e2)
         n2 = int(obs.get["n"] or 0)
+        release_checkpoint(e)  # superseded peel round: drop blocks now
         e = e2
         converged = n2 == prev_n or n2 == 0
         prev_n = n2

@@ -24,6 +24,8 @@ import warnings
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wikipath_spark.operators._loop import checkpoint_tracked, release_checkpoint
+
 
 def label_propagation(
     edges: DataFrame,
@@ -90,12 +92,12 @@ def label_propagation(
         if it % checkpoint_every == 0:
             # eager lineage truncation each superstep (measured in
             # PageRank: letting the plan grow dominates iteration cost)
-            new_labels = picked.localCheckpoint(eager=True)
+            new_labels = checkpoint_tracked(picked)
         else:
             new_labels = picked.persist()
             new_labels.count()
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
-        labels.unpersist()
+        release_checkpoint(labels)  # actually frees checkpointed frames too
         labels = new_labels
         converged = sig == prev_sig
         if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged):

@@ -36,7 +36,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from wikipath_spark.operators._loop import loop_confs
+from wikipath_spark.operators._loop import (
+    checkpoint_tracked,
+    loop_confs,
+    release_checkpoint,
+)
 from wikipath_spark.operators.skew import pick_salt, salted_sum
 
 
@@ -265,14 +269,18 @@ def _pagerank_iterate(
             if it % checkpoint_every == 0:
                 # eager truncation: measured 2x faster than letting the logical
                 # plan grow even 5 iterations — Catalyst re-analyzes the whole
-                # lineage each superstep otherwise (see BENCH/BASELINE.md)
-                new_ranks = new_ranks.localCheckpoint(eager=True)
+                # lineage each superstep otherwise (see BENCH/BASELINE.md).
+                # Tracked so the superseded frame's checkpoint BLOCKS can be
+                # dropped next iteration (plain unpersist() is a no-op on a
+                # localCheckpointed frame — blocks live in the BlockManager,
+                # not the CacheManager)
+                new_ranks = checkpoint_tracked(new_ranks)
             else:
                 new_ranks = new_ranks.persist()
                 new_ranks.count()
             metrics = obs.get
             delta, dangling_mass = metrics["d"], metrics["dm"] or 0.0
-            ranks.unpersist()
+            release_checkpoint(ranks)
             ranks = new_ranks
             converged_now = delta < tol
             if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged_now):
@@ -284,10 +292,10 @@ def _pagerank_iterate(
 
         return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
     except BaseException:
-        # mid-loop abort (budget timeout, checkpoint-hook bomb): unpersist
+        # mid-loop abort (budget timeout, checkpoint-hook bomb): release
         # the CURRENT state frame — on success it stays persisted for the
         # caller (documented result contract)
-        ranks.unpersist()
+        release_checkpoint(ranks)
         raise
 
 
@@ -348,21 +356,18 @@ def pagerank_fixedpoint(
     n = n_vertices if sources is None else len(sources)
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    edges_od = (
-        edges.select("src", "dst").join(out_deg, "src").localCheckpoint(eager=True)
-    )
+    edges_od = checkpoint_tracked(edges.select("src", "dst").join(out_deg, "src"))
     srcs = edges.select("src").distinct()
     in_jump = (
         F.lit(True) if sources is None else F.col("page_id").isin([int(s) for s in sources])
     )
-    vflag = (
+    vflag = checkpoint_tracked(
         vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
         .select(
             "page_id",
             F.col("src").isNull().alias("is_dangling"),
             in_jump.alias("is_jump"),
         )
-        .localCheckpoint(eager=True)
     )
     r0_val = scale // n
     flags = vflag.agg(
@@ -377,41 +382,52 @@ def pagerank_fixedpoint(
     dm = r0_val * flags["n_dj"]
     jump = ((damping_den - damping_num) * scale) // (damping_den * n)
 
-    ranks = vflag.select(
-        "page_id",
-        F.when(F.col("is_jump"), F.lit(r0_val)).otherwise(F.lit(0)).cast("long").alias("rank_fp"),
-        "is_dangling",
-        "is_jump",
-    ).localCheckpoint(eager=True)
-    for it in range(1, iters + 1):
-        msgs = edges_od.join(ranks, edges_od["src"] == ranks["page_id"]).select(
-            "dst", F.expr("rank_fp div od").alias("c")
+    ranks = checkpoint_tracked(
+        vflag.select(
+            "page_id",
+            F.when(F.col("is_jump"), F.lit(r0_val)).otherwise(F.lit(0)).cast("long").alias("rank_fp"),
+            "is_dangling",
+            "is_jump",
         )
-        msum = msgs.groupBy("dst").agg(F.sum("c").alias("msum"))
-        dangling_term = (damping_num * (dm // n)) // damping_den
-        obs = Observation(f"prf_{it}")
-        new_ranks = (
-            ranks.join(msum, ranks["page_id"] == msum["dst"], "left")
-            .select(
-                "page_id",
-                (
-                    F.when(F.col("is_jump"), F.lit(jump + dangling_term)).otherwise(F.lit(0)).cast("long")
-                    + F.expr(f"({damping_num} * coalesce(msum, 0L)) div {damping_den}")
-                ).alias("rank_fp"),
-                "is_dangling",
-                "is_jump",
+    )
+    try:
+        for it in range(1, iters + 1):
+            msgs = edges_od.join(ranks, edges_od["src"] == ranks["page_id"]).select(
+                "dst", F.expr("rank_fp div od").alias("c")
             )
-            .observe(
-                obs,
-                F.sum(
-                    F.when(F.col("is_dangling"), F.col("rank_fp")).otherwise(F.lit(0).cast("long"))
-                ).alias("dm"),
+            msum = msgs.groupBy("dst").agg(F.sum("c").alias("msum"))
+            dangling_term = (damping_num * (dm // n)) // damping_den
+            obs = Observation(f"prf_{it}")
+            new_ranks = checkpoint_tracked(
+                ranks.join(msum, ranks["page_id"] == msum["dst"], "left")
+                .select(
+                    "page_id",
+                    (
+                        F.when(F.col("is_jump"), F.lit(jump + dangling_term)).otherwise(F.lit(0)).cast("long")
+                        + F.expr(f"({damping_num} * coalesce(msum, 0L)) div {damping_den}")
+                    ).alias("rank_fp"),
+                    "is_dangling",
+                    "is_jump",
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("is_dangling"), F.col("rank_fp")).otherwise(F.lit(0).cast("long"))
+                    ).alias("dm"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        dm = int(obs.get["dm"] or 0)
-        ranks = new_ranks
-    return ranks.select("page_id", "rank_fp")
+            dm = int(obs.get["dm"] or 0)
+            release_checkpoint(ranks)  # superseded state: drop blocks NOW
+            ranks = new_ranks
+        # the FINAL state frame stays checkpointed — the returned select
+        # reads it (a localCheckpointed RDD cannot be recomputed)
+        return ranks.select("page_id", "rank_fp")
+    except BaseException:
+        release_checkpoint(ranks)
+        raise
+    finally:
+        release_checkpoint(edges_od)
+        release_checkpoint(vflag)
 
 
 def pagerank_numpy_oracle(edge_list, n=None, damping=0.85, tol=1e-6, max_iter=100):
@@ -527,7 +543,7 @@ def pagerank_multi(
         slot = F.array(
             *[F.when(F.col("page_id") == s, 1.0).otherwise(0.0) for s in seeds]
         )
-        vflag = (
+        vflag = checkpoint_tracked(
             vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
             .select(
                 "page_id",
@@ -535,7 +551,6 @@ def pagerank_multi(
                 slot.alias("slot"),
             )
             .repartition(sc_parts, "page_id")
-            .localCheckpoint(eager=True)
         )
         n_seed_hits = vflag.agg(
             F.sum(F.aggregate("slot", F.lit(0.0), lambda a, x: a + x))
@@ -546,9 +561,9 @@ def pagerank_multi(
                 "vertex set — personalization mass would leak"
             )
 
-        ranks = vflag.select(
-            "page_id", "is_dangling", "slot", F.col("slot").alias("ranks")
-        ).localCheckpoint(eager=True)
+        ranks = checkpoint_tracked(
+            vflag.select("page_id", "is_dangling", "slot", F.col("slot").alias("ranks"))
+        )
         # dangling mass per component rides the checkpointing pass: k scalar
         # aggregates (element_at is a cheap array index, k is small)
         dm_row = ranks.agg(
@@ -603,7 +618,7 @@ def pagerank_multi(
                     ]
                 )
                 obs = Observation(f"prm_{it}")
-                new_ranks = (
+                new_ranks = checkpoint_tracked(
                     ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
                     .select("page_id", "is_dangling", "slot", new_vec.alias("ranks"))
                     .observe(
@@ -617,17 +632,22 @@ def pagerank_multi(
                             for i in range(k)
                         ],
                     )
-                    .localCheckpoint(eager=True)
                 )
                 metrics = obs.get
                 dm = [float(metrics[f"dm{i}"] or 0.0) for i in range(k)]
-                # release the superseded state frame eagerly — waiting for
-                # driver GC leaves iters × |V| × k checkpointed values cached
-                # simultaneously (the scalar loop has the same discipline)
-                ranks.unpersist()
+                # drop the superseded state frame's checkpoint BLOCKS now —
+                # waiting for driver GC leaves up to iters × |V| × k
+                # checkpointed values cached simultaneously (plain
+                # unpersist() is a no-op on localCheckpointed frames)
+                release_checkpoint(ranks)
                 ranks = new_ranks
+        except BaseException:
+            release_checkpoint(ranks)  # mid-loop abort: current state too
+            raise
         finally:
             contrib_edges.unpersist()
+            release_checkpoint(vflag)
+        # the FINAL state frame stays checkpointed for the returned select
         return ranks.select("page_id", "ranks")
 
 
@@ -715,7 +735,7 @@ def pagerank_multi_fixedpoint(
                 for s in seeds
             ]
         )
-        vflag = (
+        vflag = checkpoint_tracked(
             vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
             .select(
                 "page_id",
@@ -723,7 +743,6 @@ def pagerank_multi_fixedpoint(
                 slot.alias("slot"),
             )
             .repartition(sc_parts, "page_id")
-            .localCheckpoint(eager=True)
         )
         n_hits = vflag.agg(
             F.sum(F.aggregate("slot", F.lit(0).cast("long"), lambda a, x: a + x))
@@ -733,12 +752,14 @@ def pagerank_multi_fixedpoint(
                 f"pagerank_multi_fixedpoint: {k - int(n_hits)} seed(s) not in "
                 "the vertex set — personalization mass would leak"
             )
-        ranks = vflag.select(
-            "page_id",
-            "is_dangling",
-            "slot",
-            F.transform("slot", lambda x: x * scale).alias("ranks"),
-        ).localCheckpoint(eager=True)
+        ranks = checkpoint_tracked(
+            vflag.select(
+                "page_id",
+                "is_dangling",
+                "slot",
+                F.transform("slot", lambda x: x * scale).alias("ranks"),
+            )
+        )
         dm_row = ranks.agg(
             *[
                 F.sum(
@@ -788,7 +809,7 @@ def pagerank_multi_fixedpoint(
                     ]
                 )
                 obs = Observation(f"prmf_{it}")
-                new_ranks = (
+                new_ranks = checkpoint_tracked(
                     ranks.join(sums, ranks["page_id"] == sums["dst"], "left")
                     .select("page_id", "is_dangling", "slot", new_vec.alias("ranks"))
                     .observe(
@@ -802,12 +823,16 @@ def pagerank_multi_fixedpoint(
                             for i in range(k)
                         ],
                     )
-                    .localCheckpoint(eager=True)
                 )
                 metrics = obs.get
                 dm = [int(metrics[f"dm{i}"] or 0) for i in range(k)]
-                ranks.unpersist()  # same stale-frame discipline as the float loop
+                release_checkpoint(ranks)  # same discipline as the float loop
                 ranks = new_ranks
+        except BaseException:
+            release_checkpoint(ranks)
+            raise
         finally:
             edges_od.unpersist()
+            release_checkpoint(vflag)
+        # the FINAL state frame stays checkpointed for the returned select
         return ranks.select("page_id", "ranks")
