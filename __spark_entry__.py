@@ -407,6 +407,21 @@ def q_events_windowed(spark, sf):
     return windowed_event_counts(_t(spark, sf, "events"))
 
 
+_SESSION_GAP_S = 14_400  # 4h: median inter-event gap ≈ 26ks ⇒ real merging
+# (10k events → ~6.9k sessions at sf0.01), not one-session-per-user
+
+
+def q_events_sessions(spark, sf):
+    """Event-time gap sessionization via the built-in ``session_window``
+    (streaming/sessions.py ``sessionize_event_time`` — same plan runs as a
+    watermarked append-mode stream; this batch twin is what the gate
+    oracles).  Oracle: DuckDB gaps-and-islands (lag + cumulative island id),
+    exact because both define a session break as diff ≥ gap."""
+    from wikipath_spark.streaming.sessions import sessionize_event_time
+
+    return sessionize_event_time(_t(spark, sf, "events"), gap_s=_SESSION_GAP_S)
+
+
 _MIX_FRACTIONS = {"en": 0.7, "de": 0.4, "fr": 0.2}
 
 
@@ -762,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "curated_corpus": q_curated_corpus,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
         "graph_pagerank": q_graph_pagerank,
@@ -1104,6 +1120,9 @@ _LANG_CASE = f"""
 """
 
 
+_CC_ORACLE_ROUNDS = 24  # ≥ 2x the measured min-vertex eccentricity (≤12) at sf ≤ 0.1
+
+
 def _cc_minprop_oracle(rounds: int) -> str:
     """Connected components of the copurchase graph as ROUNDS unrolled
     min-label-propagation steps (l'(v) = min(l(v), min over neighbors)) —
@@ -1224,7 +1243,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, max(o_orderdate) AS latest, count(*) AS n_orders
             FROM orders GROUP BY o_custkey
         """,
-        "cc_copurchase": _cc_minprop_oracle(rounds=24),
+        "cc_copurchase": _cc_minprop_oracle(rounds=_CC_ORACLE_ROUNDS),
         "bfs_distances": """
             WITH RECURSIVE e AS (
                 SELECT DISTINCT l_partkey AS src, l_suppkey + 100000 AS dst FROM lineitem
@@ -1459,6 +1478,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": f"""
+            WITH e AS (
+                SELECT user_id, ts, value FROM events WHERE ts IS NOT NULL
+            ), m AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL {_SESSION_GAP_S} SECOND
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         # composed curation pipeline: gate → exact dedup (min-id keeper) →
         # near-dup prune (drop the larger id of every exact-Jaccard ≥ 0.8
@@ -1709,4 +1747,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM audio_f UNION ALL SELECT * FROM image_f
                   UNION ALL SELECT * FROM video_f)
         """,
+    }
+
+
+def oracle_fixpoints() -> dict[str, str]:
+    """Fixpoint-margin twins for the unrolled-fixpoint oracles (VERDICT r4
+    item 8).  For every oracle whose exactness argument is "``rounds`` ≥ the
+    true fixpoint, extra rounds idempotent", this maps the query name to the
+    SAME oracle unrolled ONE MORE round.  ``scripts/oracle_gate.py`` runs the
+    pair and asserts identical results BEFORE trusting the oracle: if a
+    larger scale factor ever pushes the true fixpoint past the margin the
+    rounds were measured for, the gate fails loudly as
+    "oracle under-converged" instead of reporting a false engine mismatch.
+    (``graph_labels`` is deliberately absent: engine and oracle both run a
+    FIXED ``_LPA_ROUNDS`` rounds, so matching is exact by construction, not
+    by a convergence margin.  ``graph_components`` is a true recursive CTE —
+    exact at any scale.)"""
+    return {
+        "cc_copurchase": _cc_minprop_oracle(rounds=_CC_ORACLE_ROUNDS + 1),
+        "graph_kcore": _graph_kcore_oracle(_KCORE_K, _KCORE_ORACLE_ROUNDS + 1),
+        "graph_coreness": _graph_coreness_oracle(_CORENESS_ORACLE_ROUNDS + 1),
     }

@@ -41,6 +41,15 @@ def _canon(val):
     return str(val)
 
 
+def fixpoint_holds(con, oracle_rows, sql_one_more_round) -> bool:
+    """True iff re-running an unrolled-fixpoint oracle with ONE extra round
+    reproduces ``oracle_rows`` exactly (order-insensitive).  False means the
+    unroll margin no longer covers this scale factor — the oracle itself is
+    under-converged and any Spark comparison against it is meaningless."""
+    again = con.execute(sql_one_more_round).fetchall()
+    return sorted(map(tuple, again)) == sorted(map(tuple, oracle_rows))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +58,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    fixpoints = entrymod.oracle_fixpoints()
 
     only = os.environ.get("WPS_GATE_ONLY")
     names = sorted(only.split(",")) if only else sorted(queries)
@@ -89,6 +99,19 @@ def main() -> int:
                 ddf = con.execute(oracles[name])
                 dcols_raw = ddf.description and [d[0] for d in ddf.description]
                 rows_raw = ddf.fetchall()
+                # unrolled-fixpoint oracles must prove their margin at THIS
+                # scale factor: one extra round has to be a no-op, else the
+                # oracle (not the engine) is wrong and the comparison below
+                # would report a false mismatch
+                if name in fixpoints and not fixpoint_holds(con, rows_raw, fixpoints[name]):
+                    results[name] = {
+                        "status": "ORACLE_UNDER_CONVERGED",
+                        "sec": round(time.time() - t0, 1),
+                    }
+                    fails.append(name)
+                    print(f"  {name}: ORACLE_UNDER_CONVERGED — raise the "
+                          "oracle's unroll rounds for this SF", file=sys.stderr)
+                    continue
             finally:
                 done.set()
             dcols = sorted(dcols_raw)

@@ -245,3 +245,46 @@ def test_page_id_exact_tie_breaks_on_min_id_both_paths(spark):
     assert svc._page_id(frame_ds, "A") == 3
     assert svc._page_id(frame_ds, "a") == 7
     assert svc._page_id(frame_ds, "á") == 3
+
+
+# ---------------------------------------------------------------------------
+# unrolled-fixpoint oracle margin guard (VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_fixpoint_guard_detects_under_convergence():
+    """The gate's fixpoint check must fail an under-unrolled oracle loudly
+    (instead of letting it masquerade as an engine mismatch) and pass the
+    registered round counts at test scale."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import oracle_gate
+
+    import __spark_entry__ as entrymod
+
+    fixpoints = entrymod.oracle_fixpoints()
+    oracles = entrymod.oracle_sql()
+    # every fixpoint twin guards a registered oracle and differs from it
+    assert set(fixpoints) <= set(oracles)
+    for name, sql in fixpoints.items():
+        assert sql != oracles[name]
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+        from __spark_entry__ import _cc_minprop_oracle
+
+        # 1 round cannot reach the copurchase components' fixpoint: the guard
+        # must report under-convergence (rounds=2 changes the answer) ...
+        r1 = con.execute(_cc_minprop_oracle(rounds=1)).fetchall()
+        assert not oracle_gate.fixpoint_holds(con, r1, _cc_minprop_oracle(rounds=2))
+        # ... and the REGISTERED margin must hold at this scale
+        registered = con.execute(oracles["cc_copurchase"]).fetchall()
+        assert oracle_gate.fixpoint_holds(con, registered, fixpoints["cc_copurchase"])
+    finally:
+        con.close()

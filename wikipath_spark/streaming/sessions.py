@@ -92,3 +92,51 @@ def sessionize_stream(events_stream: DataFrame, gap_ms: int = 30_000) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sessionize_event_time(
+    events: DataFrame,
+    gap_s: int = 14_400,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """EVENT-time gap sessionization — the production semantics for a
+    training-data pipeline (VERDICT r4 item 5): two events belong to one
+    session iff they are < ``gap_s`` seconds apart *in event time*; late
+    events within the watermark merge into their proper session, and
+    processing-time timing plays no role (unlike :func:`sessionize_stream`,
+    whose ProcessingTimeTimeout closes sessions by wall clock).
+
+    Spark-first: the built-in ``session_window`` (merged-interval windows,
+    whole-stage-codegen aggregation) instead of custom state.  ONE
+    definition runs both ways:
+
+    - streaming frame → watermarked append-mode aggregation: a session row
+      is emitted exactly once, when the watermark passes its close,
+    - batch frame → the same plan computes the batch twin (the driver-gate
+      query ``events_sessions`` oracles it against a DuckDB gaps-and-islands
+      rewrite).
+
+    Boundary semantics: each event spans ``[ts, ts+gap)`` and sessions are
+    unions of overlapping spans, so a successor exactly ``gap_s`` later
+    starts a NEW session — the oracle's ``diff >= gap`` island rule.
+    Null-``ts`` rows are dropped (no event time = no session membership).
+
+    Output: ``(user_id, session_start, session_end, n_events, sum_value)``
+    with start/end = min/max EVENT time (the stateful variant's schema; the
+    window's own end extends ``gap_s`` past the last event).
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.filter(F.col("ts").isNotNull())
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
