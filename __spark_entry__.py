@@ -36,6 +36,7 @@ from wikipath_spark.functions.text import (
     LANG_MARKERS,
     MINHASH_MASK30,
     fingerprint,
+    fingerprint_arrow,
     lang_id,
     minhash_perm_sql,
     punct_ratio,
@@ -323,6 +324,11 @@ def q_repetition_stats(spark, sf):
 
 
 def q_text_stats(spark, sf):
+    """All-JVM whole-stage-codegen stats except ``fp``: the fingerprint
+    column uses the Arrow kernel twin (measured 1.5x the interpreted HOF at
+    sf0.1, bit-identical — see functions/text.py fingerprint_arrow); the
+    DuckDB oracle mirrors the portable JVM definition, so staying green
+    IS the cross-implementation check."""
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -332,7 +338,7 @@ def q_text_stats(spark, sf):
         stopword_ratio(F.col("text")).alias("stop_ratio"),
         punct_ratio(F.col("text")).alias("punct_ratio"),
         quality_score(F.col("text")).alias("quality"),
-        fingerprint(F.col("text")).alias("fp"),
+        fingerprint_arrow(F.col("text")).alias("fp"),
     )
 
 

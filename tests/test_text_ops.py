@@ -196,3 +196,39 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(events).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_fingerprint_arrow_matches_jvm_on_edge_cases(spark):
+    """The Arrow fingerprint twin must agree with the portable JVM
+    definition bit-for-bit, including null / empty / shorter-than-n /
+    exactly-n / mixed-case / accented / multibyte inputs (the gate corpus
+    agreement is separately pinned by the green text_stats oracle row)."""
+    from pyspark.sql import functions as F
+
+    from wikipath_spark.functions.text import fingerprint, fingerprint_arrow
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "abcd"),            # shorter than n=5
+        (4, "abcde"),           # exactly one gram
+        (5, "The QUICK brown Fox jumps over the lazy dog"),
+        (6, "aaaaaaaaaaaa"),    # degenerate repetition
+        (7, "naïve façade — déjà vu œuvre"),
+        (8, "日本語のテキストとmixed ASCII 123"),
+        (9, "tab\tand\nnewline  spacing"),
+        (10, "ß STRASSE straße"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.a, r.b)
+        for r in df.select(
+            "doc_id",
+            fingerprint(F.col("text")).alias("a"),
+            fingerprint_arrow(F.col("text")).alias("b"),
+        ).collect()
+    }
+    for doc_id, (a, b) in sorted(got.items()):
+        assert a == b, f"doc {doc_id}: jvm={a!r} arrow={b!r}"
+    assert got[1] == (None, None) and got[3] == (None, None)
+    assert got[4][0] is not None
