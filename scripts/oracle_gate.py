@@ -99,11 +99,39 @@ def main() -> int:
                 ddf = con.execute(oracles[name])
                 dcols_raw = ddf.description and [d[0] for d in ddf.description]
                 rows_raw = ddf.fetchall()
-                # unrolled-fixpoint oracles must prove their margin at THIS
-                # scale factor: one extra round has to be a no-op, else the
-                # oracle (not the engine) is wrong and the comparison below
-                # would report a false mismatch
-                if name in fixpoints and not fixpoint_holds(con, rows_raw, fixpoints[name]):
+            finally:
+                done.set()
+            # unrolled-fixpoint oracles must prove their margin at THIS
+            # scale factor: one extra round has to be a no-op, else the
+            # oracle (not the engine) is wrong and the comparison below
+            # would report a false mismatch.  The re-run gets its OWN
+            # watchdog window: the main comparison is already fetched above,
+            # so a slow fixpoint re-run can time out on its own ("timeout" =
+            # margin unverified, comparison still recorded) without silently
+            # displacing a previously-green check.
+            fixpoint = None
+            if name in fixpoints:
+                done2 = threading.Event()
+
+                def watchdog2():
+                    if not done2.wait(limit):
+                        con.interrupt()
+
+                w2 = threading.Thread(target=watchdog2, daemon=True)
+                w2.start()
+                try:
+                    fixpoint = (
+                        "holds"
+                        if fixpoint_holds(con, rows_raw, fixpoints[name])
+                        else "under_converged"
+                    )
+                except Exception as fe:  # noqa: BLE001
+                    if "INTERRUPT" not in str(fe).upper():
+                        raise
+                    fixpoint = "timeout"
+                finally:
+                    done2.set()
+                if fixpoint == "under_converged":
                     results[name] = {
                         "status": "ORACLE_UNDER_CONVERGED",
                         "sec": round(time.time() - t0, 1),
@@ -112,8 +140,6 @@ def main() -> int:
                     print(f"  {name}: ORACLE_UNDER_CONVERGED — raise the "
                           "oracle's unroll rounds for this SF", file=sys.stderr)
                     continue
-            finally:
-                done.set()
             dcols = sorted(dcols_raw)
             drows = sorted(
                 tuple(_canon(dict(zip(dcols_raw, row))[c]) for c in dcols)
@@ -128,6 +154,8 @@ def main() -> int:
                 "values_match": srows == drows,
                 "sec": round(time.time() - t0, 1),
             }
+            if fixpoint is not None:
+                results[name]["fixpoint"] = fixpoint
             if not ok:
                 fails.append(name)
         except Exception as e:  # noqa: BLE001

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from wikipath_spark.functions.text import pii_stats, redact_pii, repetition_stats
+from wikipath_spark.operators._loop import release_checkpoint
 from wikipath_spark.operators.pagerank import pagerank_multi
 from wikipath_spark.plans.build import build_graph
 from wikipath_spark.session import get_spark
@@ -67,24 +68,6 @@ def main() -> None:
         "wall_sec": round(dt, 1),
         "pages_per_sec": round(n_files / dt, 1),
     }
-
-    # --- wide-state CSR kernel: k personalized walks in one vector loop
-    seeds = [r.page_id for r in g.pages.select("page_id").orderBy("page_id").limit(k).collect()]
-    t0 = time.time()
-    ranks = pagerank_multi(g.edges, seeds, vertices=g.pages.select("page_id"),
-                           iters=iters, impl="csr")
-    n_ranked = ranks.count()
-    dt = time.time() - t0
-    out["pagerank_multi_csr"] = {
-        "k": k,
-        "iters": iters,
-        "vertices": n_ranked,
-        "wall_sec": round(dt, 1),
-        # per-superstep message volume is |E| rows regardless of k (the
-        # vector rides one Arrow row) — edges/s is the comparable rate
-        "edges_per_sec": round(n_edges * iters / dt, 1),
-    }
-    ranks.unpersist()
 
     # --- PII redaction over every file body (driver-query synthesis: each
     # row gains one email + ip + phone derived from a stable int id)
@@ -128,6 +111,25 @@ def main() -> None:
         "wall_sec": round(dt, 1),
         "rows_per_sec": round(int(rep["n"]) / dt, 1),
     }
+    # --- wide-state CSR kernel: k personalized walks in one vector loop
+    seeds = [r.page_id for r in g.pages.select("page_id").orderBy("page_id").limit(k).collect()]
+    t0 = time.time()
+    ranks = pagerank_multi(g.edges, seeds, vertices=g.pages.select("page_id"),
+                           iters=iters, impl="csr")
+    n_ranked = ranks.count()
+    dt = time.time() - t0
+    out["pagerank_multi_csr"] = {
+        "k": k,
+        "iters": iters,
+        "vertices": n_ranked,
+        "wall_sec": round(dt, 1),
+        # per-superstep message volume is |E| rows regardless of k (the
+        # vector rides one Arrow row) — edges/s is the comparable rate
+        "edges_per_sec": round(n_edges * iters / dt, 1),
+    }
+    release_checkpoint(ranks)  # frees the checkpointed k-wide state blocks
+
+
     files.unpersist()
     g.edges.unpersist()
 

@@ -188,14 +188,26 @@ def test_hot_reload_serves_rewritten_dataset_without_refresh(spark, tmp_path):
 
 
 def test_lru_never_exceeds_cap_during_open(spark, catalog5):
+    """At the moment the incoming dataset starts persisting, at most
+    max_pinned-1 pins may hold storage (eviction precedes pinning, so the
+    cap is never transiently exceeded) — probed by spying on the first
+    persist() call of each open."""
     cat, commit = catalog5
     svc = LinkGraphService(cat, max_pinned=2)
     observed: list[int] = []
     orig_get = cat.get
 
     def spying_get(repo, c):
-        observed.append(len(svc._pinned))  # pins held while the incoming
-        return orig_get(repo, c)           # dataset starts persisting
+        tables = orig_get(repo, c)
+        real_edges = tables.edges
+
+        class _SpyEdges:  # records pins held when persistence begins
+            def persist(self):
+                observed.append(len(svc._pinned))
+                return real_edges.persist()
+
+        tables.edges = _SpyEdges()
+        return tables
 
     cat.get = spying_get
     try:
@@ -213,6 +225,20 @@ def test_lru_never_exceeds_cap_during_open(spark, catalog5):
     finally:
         cat.get = orig_get
         svc.refresh()
+
+
+def test_unknown_dataset_does_not_cost_a_pin(spark, catalog5):
+    """A request naming a nonexistent (repo, commit) must fail WITHOUT
+    evicting a healthy pinned dataset (catalog.get validates before the LRU
+    runs)."""
+    cat, commit = catalog5
+    svc = LinkGraphService(cat, max_pinned=2)
+    svc._open("repoA", commit)
+    svc._open("repoB", commit)
+    with pytest.raises(KeyError):
+        svc._open("no-such-repo", commit)
+    assert ("repoA", commit) in svc._pinned and ("repoB", commit) in svc._pinned
+    svc.refresh()
 
 
 # ---------------------------------------------------------------------------
@@ -288,3 +314,42 @@ def test_oracle_fixpoint_guard_detects_under_convergence():
         assert oracle_gate.fixpoint_holds(con, registered, fixpoints["cc_copurchase"])
     finally:
         con.close()
+
+
+def test_checkpoint_every_gt1_keeps_supporting_checkpoint_alive(spark, edges_df):
+    """With checkpoint_every > 1 the loop may end on a persist-only frame
+    whose recompute path runs THROUGH the last checkpoint — those blocks
+    must stay alive for the caller (released only when a newer checkpoint
+    supersedes them), and the mixed cadence must not change the numbers."""
+    e = edges_df(_CHAIN_EDGES)
+    v = spark.range(0, 41).selectExpr("id as page_id")
+    base = {r.page_id: r.rank for r in
+            pagerank(e, vertices=v, tol=0.0, max_iter=5, checkpoint_every=1).ranks.collect()}
+    res = pagerank(e, vertices=v, tol=0.0, max_iter=5, checkpoint_every=3)
+    # iteration 5 took the persist-only branch; iteration 3's checkpoint backs it
+    got = {r.page_id: r.rank for r in res.ranks.collect()}
+    assert got == base
+    # the result must survive repeated materialization (a released supporting
+    # checkpoint would make any recompute of the persist-only frame fatal)
+    assert res.ranks.count() == len(base)
+    assert {r.page_id: r.rank for r in res.ranks.collect()} == base
+    # disposal API: the ids riding the result cover the deferred checkpoint
+    assert getattr(res.ranks, "_wps_ckpt_rdd_ids", None)
+    from wikipath_spark.operators._loop import release_checkpoint
+
+    release_checkpoint(res.ranks)
+
+
+def test_label_propagation_checkpoint_every_gt1_matches(spark, edges_df):
+    import warnings as _w
+
+    from wikipath_spark.operators.labelprop import label_propagation
+
+    e = edges_df(_CHAIN_EDGES)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        a = {r.page_id: r.label for r in label_propagation(e, max_iter=5).collect()}
+        res = label_propagation(e, max_iter=5, checkpoint_every=3)
+    b = {r.page_id: r.label for r in res.collect()}
+    assert a == b
+    assert {r.page_id: r.label for r in res.collect()} == a  # re-materializable

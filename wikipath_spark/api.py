@@ -133,6 +133,12 @@ class LinkGraphService:
                 self._pinned[key] = self._pinned.pop(key)  # LRU: move to newest
                 return self._pinned[key]
             self._pinned.pop(key).unpin()
+        snapshot = _dataset_snapshot(base)  # taken BEFORE reading: a rewrite
+        # racing the open makes the next request's comparison fail → re-open
+        # catalog.get runs BEFORE eviction: it raises for an unknown
+        # (repo, commit) while still fully lazy (no persist, no jobs), so a
+        # typo'd request cannot cost a healthy dataset its pin
+        tables = self.catalog.get(repo, commit)
         # LRU eviction BEFORE the incoming dataset persists anything: evicting
         # after would transiently hold max_pinned+1 datasets' executor storage
         # (and driver index heap) at the boundary.  Plain dicts iterate in
@@ -141,9 +147,6 @@ class LinkGraphService:
         while len(self._pinned) > max(0, self.max_pinned - 1):
             oldest = next(iter(self._pinned))
             self._pinned.pop(oldest).unpin()
-        snapshot = _dataset_snapshot(base)  # taken BEFORE reading: a rewrite
-        # racing the open makes the next request's comparison fail → re-open
-        tables = self.catalog.get(repo, commit)
         tables.edges = tables.edges.persist()
         tables.edges.count()  # pin eagerly: supersteps reuse the cache
         tables.redirects = tables.redirects.persist()

@@ -199,10 +199,17 @@ def fingerprint_arrow(col: Column, n: int = 5) -> Column:
     def _fp_fn(texts):
         out = []
         cache: dict[str, str] = {}
+        # the cross-row gram cache is what beats the JVM HOF on overlapping
+        # text, but high-entropy corpora would grow it without bound across
+        # a 10k-row Arrow batch — cap it (~100 MB worst case) and restart;
+        # within-row repetition still dedups via the fresh dict
+        cache_cap = 1 << 20
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
+            if len(cache) > cache_cap:
+                cache = {}
             s = t.lower()
             if len(s) < n:
                 out.append(None)

@@ -57,17 +57,33 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
 
 
 def checkpoint_tracked(df: "DataFrame") -> "DataFrame":
-    """``localCheckpoint(eager=True)`` that remembers which RDD ids the
+    """``localCheckpoint(eager=True)`` that remembers which RDD id the
     checkpoint persisted, so :func:`release_checkpoint` can actually free
-    them.  ``DataFrame.unpersist()`` is a NO-OP on a localCheckpointed frame:
+    it.  ``DataFrame.unpersist()`` is a NO-OP on a localCheckpointed frame:
     the checkpoint's blocks are an RDD-level persist registered with the
     BlockManager, not a CacheManager entry, so without this the superseded
     state of every iteration lingers until the ContextCleaner happens to GC
-    the JVM-side RDD — up to iters x |V| x k values on the wide-state loops."""
+    the JVM-side RDD — up to iters x |V| x k values on the wide-state loops.
+
+    The id is read directly off the checkpointed plan (``LogicalRDD.rdd``),
+    which attributes exactly the RDD this frame owns — a before/after diff
+    of all persistent RDDs would misattribute frames persisted concurrently
+    by other threads of a long-lived serve session (and then free them out
+    from under their owner).  The diff remains only as a reflection-failure
+    fallback."""
     spark = df.sparkSession
     before = persistent_rdd_ids(spark)
     out = df.localCheckpoint(eager=True)
-    out._wps_ckpt_rdd_ids = persistent_rdd_ids(spark) - before
+    ids = None
+    try:
+        plan = out._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            ids = {int(plan.rdd().id())}
+    except Exception:
+        ids = None
+    out._wps_ckpt_rdd_ids = (
+        ids if ids is not None else persistent_rdd_ids(spark) - before
+    )
     return out
 
 

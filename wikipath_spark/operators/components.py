@@ -164,4 +164,8 @@ def connected_components(
         .join(comp.select("page_id"), "page_id", "left_anti")
         .withColumn("component", F.col("page_id"))
     )
-    return comp.union(roots)
+    out = comp.union(roots)
+    # the result reads the final (checkpointed) edge frame; carry its
+    # checkpoint ids so a finished caller can release_checkpoint() the blocks
+    out._wps_ckpt_rdd_ids = getattr(e, "_wps_ckpt_rdd_ids", None) or set()
+    return out

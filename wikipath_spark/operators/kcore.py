@@ -133,7 +133,9 @@ def coreness(
     # the returned select reads only the (checkpointed) final est — the
     # symmetrized edge frame is done, so drop its blocks before returning
     release_checkpoint(sym)
-    return est.select("page_id", F.col("est").alias("coreness"))
+    out = est.select("page_id", F.col("est").alias("coreness"))
+    out._wps_ckpt_rdd_ids = getattr(est, "_wps_ckpt_rdd_ids", None) or set()
+    return out
 
 
 def k_core(
@@ -207,8 +209,10 @@ def k_core(
             "result over-approximates the k-core (raise max_iter)",
             stacklevel=2,
         )
-    return (
+    out = (
         e.groupBy("u")
         .agg(F.count("*").alias("degree"))
         .select(F.col("u").alias("page_id"), "degree")
     )
+    out._wps_ckpt_rdd_ids = getattr(e, "_wps_ckpt_rdd_ids", None) or set()
+    return out

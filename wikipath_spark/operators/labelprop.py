@@ -72,6 +72,11 @@ def label_propagation(
     # stale fixpoint only costs one extra (idempotent) round.
     prev_sig: tuple[int, int] | None = None
     converged = False
+    # checkpoint release discipline (same as the PageRank scalar loop): a
+    # checkpointed frame's blocks may only drop once a NEWER checkpoint
+    # exists — a persist-only successor recomputes THROUGH the predecessor's
+    # checkpoint, and localCheckpointed RDDs cannot be recomputed
+    deferred: list = []
     for it in range(start_it + 1, max_iter + 1):
         check_budget()
         msgs = sym.join(labels, sym["v"] == labels["page_id"]).select(
@@ -89,7 +94,8 @@ def label_propagation(
                 F.sum(F.pmod(F.xxhash64("page_id", "label"), F.lit(1 << 40))).alias("h"),
             )
         )
-        if it % checkpoint_every == 0:
+        ckpt_now = it % checkpoint_every == 0
+        if ckpt_now:
             # eager lineage truncation each superstep (measured in
             # PageRank: letting the plan grow dominates iteration cost)
             new_labels = checkpoint_tracked(picked)
@@ -97,7 +103,15 @@ def label_propagation(
             new_labels = picked.persist()
             new_labels.count()
         sig = (int(obs.get["n"] or 0), int(obs.get["h"] or 0))
-        release_checkpoint(labels)  # actually frees checkpointed frames too
+        if ckpt_now:
+            release_checkpoint(labels)  # actually frees checkpointed frames
+            for stale in deferred:
+                release_checkpoint(stale)
+            deferred.clear()
+        elif getattr(labels, "_wps_ckpt_rdd_ids", None):
+            deferred.append(labels)  # persist-only successor still needs it
+        else:
+            labels.unpersist()
         labels = new_labels
         converged = sig == prev_sig
         if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged):

@@ -213,6 +213,12 @@ def _pagerank_iterate(
 ) -> PageRankResult:
     delta = float("inf")
     it = start_it
+    # checkpointed frames whose block release is DEFERRED: when the successor
+    # state took the persist-only branch, its recompute path still runs
+    # through the predecessor's checkpoint (a localCheckpointed RDD cannot be
+    # recomputed), so those blocks may only drop once a NEWER self-contained
+    # checkpoint exists.  Holds at most one frame at a time.
+    deferred: list = []
     try:
         for it in range(start_it + 1, max_iter + 1):
             check_budget()
@@ -266,12 +272,13 @@ def _pagerank_iterate(
                 )
                 .drop("_old")
             )
-            if it % checkpoint_every == 0:
+            ckpt_now = it % checkpoint_every == 0
+            if ckpt_now:
                 # eager truncation: measured 2x faster than letting the logical
                 # plan grow even 5 iterations — Catalyst re-analyzes the whole
                 # lineage each superstep otherwise (see BENCH/BASELINE.md).
                 # Tracked so the superseded frame's checkpoint BLOCKS can be
-                # dropped next iteration (plain unpersist() is a no-op on a
+                # dropped once safe (plain unpersist() is a no-op on a
                 # localCheckpointed frame — blocks live in the BlockManager,
                 # not the CacheManager)
                 new_ranks = checkpoint_tracked(new_ranks)
@@ -280,7 +287,17 @@ def _pagerank_iterate(
                 new_ranks.count()
             metrics = obs.get
             delta, dangling_mass = metrics["d"], metrics["dm"] or 0.0
-            release_checkpoint(ranks)
+            if ckpt_now:
+                # a fresh self-contained checkpoint supersedes everything
+                # before it: release the predecessor AND any deferred frame
+                release_checkpoint(ranks)
+                for stale in deferred:
+                    release_checkpoint(stale)
+                deferred.clear()
+            elif getattr(ranks, "_wps_ckpt_rdd_ids", None):
+                deferred.append(ranks)  # persist-only successor still needs it
+            else:
+                ranks.unpersist()  # plain persist frame: recompute walks lineage
             ranks = new_ranks
             converged_now = delta < tol
             if checkpoint_mgr is not None and (it % checkpoint_interval == 0 or converged_now):
@@ -290,12 +307,22 @@ def _pagerank_iterate(
             if converged_now:
                 break
 
-        return PageRankResult(ranks.select("page_id", "rank"), it, float(delta), delta < tol)
+        # success: the final state (and, when the loop ended on a persist-only
+        # iteration, the one deferred checkpoint backing it) stays alive for
+        # the caller — the returned frame carries the checkpoint ids so a
+        # caller that is DONE with the result can release_checkpoint() it
+        out = ranks.select("page_id", "rank")
+        out._wps_ckpt_rdd_ids = set(getattr(ranks, "_wps_ckpt_rdd_ids", None) or set())
+        for kept in deferred:
+            out._wps_ckpt_rdd_ids |= kept._wps_ckpt_rdd_ids
+        return PageRankResult(out, it, float(delta), delta < tol)
     except BaseException:
         # mid-loop abort (budget timeout, checkpoint-hook bomb): release
-        # the CURRENT state frame — on success it stays persisted for the
-        # caller (documented result contract)
+        # the CURRENT state frame and any deferred predecessor — on success
+        # they stay persisted for the caller (documented result contract)
         release_checkpoint(ranks)
+        for stale in deferred:
+            release_checkpoint(stale)
         raise
 
 
@@ -420,8 +447,12 @@ def pagerank_fixedpoint(
             release_checkpoint(ranks)  # superseded state: drop blocks NOW
             ranks = new_ranks
         # the FINAL state frame stays checkpointed — the returned select
-        # reads it (a localCheckpointed RDD cannot be recomputed)
-        return ranks.select("page_id", "rank_fp")
+        # reads it (a localCheckpointed RDD cannot be recomputed); its
+        # checkpoint ids ride on the result so a caller that is DONE can
+        # free the blocks with release_checkpoint()
+        out = ranks.select("page_id", "rank_fp")
+        out._wps_ckpt_rdd_ids = getattr(ranks, "_wps_ckpt_rdd_ids", None) or set()
+        return out
     except BaseException:
         release_checkpoint(ranks)
         raise
@@ -647,8 +678,12 @@ def pagerank_multi(
         finally:
             contrib_edges.unpersist()
             release_checkpoint(vflag)
-        # the FINAL state frame stays checkpointed for the returned select
-        return ranks.select("page_id", "ranks")
+        # the FINAL state frame stays checkpointed for the returned select;
+        # its checkpoint ids ride on the result so a caller that is DONE can
+        # free the blocks with release_checkpoint()
+        out = ranks.select("page_id", "ranks")
+        out._wps_ckpt_rdd_ids = getattr(ranks, "_wps_ckpt_rdd_ids", None) or set()
+        return out
 
 
 def pagerank_multi_numpy_oracle(edge_list, seeds, n=None, damping=0.85, iters=20):
@@ -834,5 +869,9 @@ def pagerank_multi_fixedpoint(
         finally:
             edges_od.unpersist()
             release_checkpoint(vflag)
-        # the FINAL state frame stays checkpointed for the returned select
-        return ranks.select("page_id", "ranks")
+        # the FINAL state frame stays checkpointed for the returned select;
+        # its checkpoint ids ride on the result so a caller that is DONE can
+        # free the blocks with release_checkpoint()
+        out = ranks.select("page_id", "ranks")
+        out._wps_ckpt_rdd_ids = getattr(ranks, "_wps_ckpt_rdd_ids", None) or set()
+        return out
