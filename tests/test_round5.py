@@ -353,3 +353,77 @@ def test_label_propagation_checkpoint_every_gt1_matches(spark, edges_df):
     b = {r.page_id: r.label for r in res.collect()}
     assert a == b
     assert {r.page_id: r.label for r in res.collect()} == a  # re-materializable
+
+
+# ---------------------------------------------------------------------------
+# driver-side BFS fast lane: whole request = zero Spark jobs (serve parity)
+# ---------------------------------------------------------------------------
+
+
+def test_driver_bfs_matches_distributed_on_random_graphs(spark, edges_df):
+    """shortest_paths_driver must be decision-for-decision identical to the
+    distributed operator: full Paths equality (links, count, length, flags)
+    over random graphs and endpoints."""
+    import random
+
+    from wikipath_spark.operators.bfs import shortest_paths, shortest_paths_driver
+
+    rng = random.Random(20260817)
+    for trial in range(12):
+        n = rng.randint(5, 16)
+        m = rng.randint(n, 3 * n)
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        adj_out: dict = {}
+        adj_in: dict = {}
+        for a, b in edges:
+            adj_out.setdefault(a, []).append(b)
+            adj_in.setdefault(b, []).append(a)
+        e = edges_df(edges)
+        for _ in range(4):
+            s, t = rng.randrange(n), rng.randrange(n)
+            dist = shortest_paths(e, s, t).to_dict()
+            drv = shortest_paths_driver(adj_out, adj_in, s, t).to_dict()
+            assert drv == dist, f"trial {trial}: {s}->{t}\ndriver={drv}\ndist={dist}"
+
+
+def test_driver_bfs_redirect_dict(spark):
+    from wikipath_spark.operators.bfs import shortest_paths_driver
+
+    adj_out = {1: [2], 2: [3]}
+    adj_in = {2: [1], 3: [2]}
+    res = shortest_paths_driver(adj_out, adj_in, 9, 3, redirects={9: 1})
+    assert res.source == 1 and res.source_is_redirect is True
+    assert (res.length, res.count) == (2, 1)
+
+
+def test_serve_request_runs_zero_spark_jobs_end_to_end(spark, catalog5):
+    """Full LMDB-serving parity: for a small pinned dataset the ENTIRE
+    shortest_paths request (resolution, BFS, DAG, counting, title mapping)
+    runs without a single Spark job."""
+    cat, commit = catalog5
+    svc = LinkGraphService(cat)
+    ds = svc._open("repoA", commit)  # pin (jobs allowed; outside the group)
+    assert ds.adj_out is not None and ds.adj_in is not None
+    sc = spark.sparkContext
+    sc.setJobGroup("r5_full_request", "probe")
+    try:
+        out = svc.shortest_paths("repoA", commit, "src/pkg1/mod3.py", "src/pkg0/mod0.py")
+    finally:
+        sc.setJobGroup("r5_full_request_done", "done")
+    assert out["count"] >= 1 and out["paths"]
+    assert sc.statusTracker().getJobIdsForGroup("r5_full_request") == []
+    svc.refresh()
+
+
+def test_serve_driver_and_distributed_lanes_agree(spark, catalog5):
+    cat, commit = catalog5
+    fast = LinkGraphService(cat)
+    slow = LinkGraphService(cat, driver_adjacency_max_edges=0)  # force BFS lane
+    a = fast.shortest_paths("repoA", commit, _REDIRECT_SRC, "src/pkg0/mod0.py")
+    b = slow.shortest_paths("repoA", commit, _REDIRECT_SRC, "src/pkg0/mod0.py")
+    assert a == b
+    fast.refresh()
+    slow.refresh()

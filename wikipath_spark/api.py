@@ -40,7 +40,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import functions as F
 
 from wikipath_spark.functions.text import _ACCENTS, _PLAIN, fold_accents
-from wikipath_spark.operators.bfs import enumerate_paths, shortest_paths
+from wikipath_spark.operators.bfs import (
+    enumerate_paths,
+    shortest_paths,
+    shortest_paths_driver,
+)
 from wikipath_spark.plans.catalog import DatasetCatalog, dataset_name
 
 
@@ -83,6 +87,11 @@ class _PinnedDataset:
     # folded into the driver index so query-entry redirect resolution (G7)
     # is the same zero-Spark-job point read as title→id — reference parity:
     # redirect lookup is the same LMDB point read as titles (search.rs:27-32)
+    adj_out: dict | None = None  # vertex -> [out-neighbors] (small datasets):
+    adj_in: dict | None = None   # with both adjacency dicts pinned, the WHOLE
+    # shortest-paths request runs driver-side with zero Spark jobs
+    # (operators/bfs.shortest_paths_driver) — full serving parity with the
+    # reference answering every query from its memory-mapped DB
     snapshot: tuple = ()    # on-disk fingerprint at open time (hot reload)
 
     def unpin(self) -> None:
@@ -106,6 +115,12 @@ class LinkGraphService:
     # driver heap at ~100 MB per pinned dataset (× max_pinned); larger
     # datasets fall back to the fkey-sorted cached-frame probe on executors
     driver_index_max_rows: int = 500_000
+    # datasets whose edge count also fits this cap additionally pin the
+    # adjacency (out- and in-neighbor dicts), upgrading shortest_paths from
+    # distributed BFS to the driver-side twin — zero Spark jobs end-to-end.
+    # Sizing: ~100-150 B/edge across the two dicts ⇒ ~150-300 MB at the
+    # default cap; big graphs keep the distributed BFS over cached frames
+    driver_adjacency_max_edges: int = 1_000_000
     _pinned: dict = field(default_factory=dict, init=False, repr=False)
 
     def list_datasets(self) -> list[dict]:
@@ -160,7 +175,7 @@ class LinkGraphService:
         # to a handful of cached batches instead of scanning every one
         lookup = lookup.sortWithinPartitions("fkey").persist()
         n_pages = lookup.count()
-        by_fkey = by_id = redirect_map = None
+        by_fkey = by_id = redirect_map = adj_out = adj_in = None
         if n_pages <= self.driver_index_max_rows:
             # small dataset: one collect at open time buys LMDB-style O(1)
             # point reads for the life of the pin (no Spark job per request)
@@ -175,9 +190,17 @@ class LinkGraphService:
             redirect_map = {
                 r.src: r.dst for r in tables.redirects.select("src", "dst").collect()
             }
+            # adjacency joins the pin when the edge set also fits: the BFS
+            # itself then never leaves the driver (search.rs serving parity)
+            if tables.edges.count() <= self.driver_adjacency_max_edges:
+                adj_out, adj_in = {}, {}
+                for r in tables.edges.select("src", "dst").collect():
+                    adj_out.setdefault(r.src, []).append(r.dst)
+                    adj_in.setdefault(r.dst, []).append(r.src)
         self._pinned[key] = _PinnedDataset(
             tables=tables, lookup=lookup, by_fkey=by_fkey, by_id=by_id,
-            redirect_map=redirect_map, snapshot=snapshot,
+            redirect_map=redirect_map, adj_out=adj_out, adj_in=adj_in,
+            snapshot=snapshot,
         )
         return self._pinned[key]
 
@@ -240,19 +263,34 @@ class LinkGraphService:
                 "count": 0,
                 "paths": [],
             }
-        res = shortest_paths(
-            ds.tables.edges,
-            src_id,
-            dst_id,
-            # small datasets resolve query-entry redirects from the pinned
-            # driver dict (zero Spark jobs — search.rs:27-32 point-read
-            # parity); large ones keep the persisted-frame probe
-            redirects=(
-                ds.redirect_map if ds.redirect_map is not None else ds.tables.redirects
-            ),
-            max_supersteps=max_supersteps,
-            budget_s=self.budget_s if budget_s is None else budget_s,
-        )
+        budget = self.budget_s if budget_s is None else budget_s
+        if ds.adj_out is not None:
+            # small pinned dataset: the whole query — redirect resolve, BFS,
+            # DAG extraction, counting — runs driver-side with ZERO Spark
+            # jobs, like the reference serving from its memory-mapped DB
+            res = shortest_paths_driver(
+                ds.adj_out,
+                ds.adj_in,
+                src_id,
+                dst_id,
+                redirects=ds.redirect_map,
+                max_supersteps=max_supersteps,
+                budget_s=budget,
+            )
+        else:
+            res = shortest_paths(
+                ds.tables.edges,
+                src_id,
+                dst_id,
+                # small datasets resolve query-entry redirects from the pinned
+                # driver dict (zero Spark jobs — search.rs:27-32 point-read
+                # parity); large ones keep the persisted-frame probe
+                redirects=(
+                    ds.redirect_map if ds.redirect_map is not None else ds.tables.redirects
+                ),
+                max_supersteps=max_supersteps,
+                budget_s=budget,
+            )
         id_paths = enumerate_paths(res, max_paths=max_paths)
         # resolve ids back to titles for the response (≈ the frontend's
         # title fetch, web/src/api.ts:93-129 — a probe of the pinned lookup)

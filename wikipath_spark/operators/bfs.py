@@ -459,3 +459,138 @@ def enumerate_paths(paths: Paths, max_paths: int = 8) -> list[list[int]]:
     if paths.count > 0:
         dfs(paths.source, [])
     return out
+
+
+def shortest_paths_driver(
+    adj_out: dict,
+    adj_in: dict,
+    source: int,
+    target: int,
+    redirects: dict | None = None,
+    max_supersteps: int = 50,
+    budget_s: float | None = None,
+) -> Paths:
+    """Driver-side twin of :func:`shortest_paths` over pinned adjacency
+    dicts — the serve path's LMDB-parity fast lane (search.rs:23-217): for a
+    small pinned dataset the WHOLE request (redirect resolve, bidirectional
+    BFS, DAG extraction, path counting) runs in process with ZERO Spark
+    jobs, like the reference serving every query from its memory-mapped DB.
+
+    Semantics are mirrored from the distributed operator decision-for-
+    decision so both lanes return identical ``Paths`` (parity-tested on
+    random graphs): level-synchronous expansion of the strictly-smaller
+    frontier (ties expand backward), visited checked against the PREVIOUS
+    levels only, DAG layers record every (pred, id) edge discovering a new
+    vertex, meeting = new frontier ∩ other side's visited, count =
+    Σ fwd×bwd over the meeting set, links in source→target direction.
+
+    ``adj_out``/``adj_in``: vertex → iterable of out-/in-neighbors.
+    """
+    check_budget = wall_budget(budget_s, "shortest_paths_driver")
+    src_id, src_red = _resolve(redirects, source)
+    dst_id, dst_red = _resolve(redirects, target)
+    res = Paths(src_id, src_red, dst_id, dst_red)
+    if src_id == dst_id:
+        res.length, res.count = 0, 1
+        return res
+
+    fwd_visited, bwd_visited = {src_id}, {dst_id}
+    fwd_frontier, bwd_frontier = {src_id}, {dst_id}
+    fwd_dag: list[list[tuple[int, int]]] = []  # per level: (pred, id)
+    bwd_dag: list[list[tuple[int, int]]] = []  # per level: (id, succ)
+    fwd_depth = bwd_depth = 0
+    meeting: set[int] | None = None
+
+    for _ in range(max_supersteps):
+        check_budget()
+        if not fwd_frontier or not bwd_frontier:
+            return res  # a side exhausted: no path (search.rs:178-182)
+        expand_fwd = len(fwd_frontier) < len(bwd_frontier)
+        if expand_fwd:
+            layer: list[tuple[int, int]] = []
+            new: set[int] = set()
+            for u in fwd_frontier:
+                for v in adj_out.get(u, ()):
+                    if v not in fwd_visited:
+                        layer.append((u, v))
+                        new.add(v)
+            fwd_dag.append(layer)
+            fwd_depth += 1
+            fwd_visited |= new
+            fwd_frontier = new
+            meet = new & bwd_visited
+        else:
+            layer = []
+            new = set()
+            for u in bwd_frontier:
+                for v in adj_in.get(u, ()):
+                    if v not in bwd_visited:
+                        layer.append((v, u))  # stored as (id, succ)
+                        new.add(v)
+            bwd_dag.append(layer)
+            bwd_depth += 1
+            bwd_visited |= new
+            bwd_frontier = new
+            meet = new & fwd_visited
+        if meet:
+            meeting = meet
+            break
+    if meeting is None:
+        return res
+
+    res.length = fwd_depth + bwd_depth
+
+    def walk(layers, grow_on):
+        out: list[tuple[int, int]] = []
+        needed = set(meeting)
+        match_on = 1 - grow_on  # the column that must already be needed
+        for layer in reversed(layers):
+            check_budget()
+            if not needed:
+                break
+            for row in layer:
+                if row[match_on] in needed:
+                    out.append(row)
+                    needed.add(row[grow_on])
+        return out
+
+    # (pred, id) edges on shortest paths into the meeting set
+    fwd_edges = walk(fwd_dag, grow_on=0)
+    # (id, succ) edges from the meeting set toward the target
+    bwd_edges = walk(bwd_dag, grow_on=1)
+
+    import collections
+
+    indeg: dict[int, list[int]] = collections.defaultdict(list)
+    for p, i in fwd_edges:
+        indeg[i].append(p)
+    fmemo: dict[int, int] = {}
+
+    def fcount(v: int) -> int:
+        if v == src_id:
+            return 1
+        if v not in fmemo:
+            fmemo[v] = sum(fcount(p) for p in indeg[v])
+        return fmemo[v]
+
+    outdeg: dict[int, list[int]] = collections.defaultdict(list)
+    for i, s in bwd_edges:
+        outdeg[i].append(s)
+    bmemo: dict[int, int] = {}
+
+    def bcount(v: int) -> int:
+        if v == dst_id:
+            return 1
+        if v not in bmemo:
+            bmemo[v] = sum(bcount(s) for s in outdeg[v])
+        return bmemo[v]
+
+    res.count = sum(fcount(v) * bcount(v) for v in meeting)
+
+    links: dict[int, set[int]] = {}
+    for p, i in fwd_edges:
+        links.setdefault(p, set()).add(i)
+    for i, s in bwd_edges:
+        links.setdefault(i, set()).add(s)
+    res.links = {k: sorted(v) for k, v in sorted(links.items())}
+    return res
