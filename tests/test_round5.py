@@ -427,3 +427,31 @@ def test_serve_driver_and_distributed_lanes_agree(spark, catalog5):
     assert a == b
     fast.refresh()
     slow.refresh()
+
+
+def test_concurrent_opens_single_pin(spark, catalog5):
+    """Concurrent requests for the same dataset must resolve to ONE pin
+    (the lock serializes pin-state transitions, like the reference's serve
+    loop sharing one opened DB across requests)."""
+    import threading
+
+    cat, commit = catalog5
+    svc = LinkGraphService(cat)
+    seen = []
+    errors = []
+
+    def worker():
+        try:
+            seen.append(svc._open("repoA", commit))
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len({id(ds) for ds in seen}) == 1, "racing opens created duplicate pins"
+    assert len(svc._pinned) == 1
+    svc.refresh()

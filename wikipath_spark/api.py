@@ -35,6 +35,7 @@ Serve-shape parity with the reference's long-lived process:
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
@@ -122,6 +123,12 @@ class LinkGraphService:
     # default cap; big graphs keep the distributed BFS over cached frames
     driver_adjacency_max_edges: int = 1_000_000
     _pinned: dict = field(default_factory=dict, init=False, repr=False)
+    # pin management is serialized: the reference's serve loop handles
+    # concurrent HTTP requests, and two threads racing _open/refresh could
+    # otherwise double-pin one dataset or evict a pin mid-construction.
+    # Queries themselves (driver-dict probes, BFS over already-pinned
+    # frames) run outside the lock — only the pin-state transitions lock.
+    _lock: threading.RLock = field(default_factory=threading.RLock, init=False, repr=False)
 
     def list_datasets(self) -> list[dict]:
         return [
@@ -133,11 +140,16 @@ class LinkGraphService:
         """Drop every pinned dataset (≈ the reference's watcher-triggered
         atomic swap, serve.rs:155-192): the next request re-opens from
         storage, picking up rewritten tables."""
-        for ds in self._pinned.values():
-            ds.unpin()
-        self._pinned.clear()
+        with self._lock:
+            for ds in self._pinned.values():
+                ds.unpin()
+            self._pinned.clear()
 
     def _open(self, repo: str, commit: str) -> _PinnedDataset:
+        with self._lock:
+            return self._open_locked(repo, commit)
+
+    def _open_locked(self, repo: str, commit: str) -> _PinnedDataset:
         key = (repo, commit)
         base = os.path.join(self.catalog.root, dataset_name(repo, commit))
         if key in self._pinned:

@@ -1,8 +1,10 @@
+from wikipath_spark.operators._loop import checkpoint_tracked, release_checkpoint
 from wikipath_spark.operators.bfs import (
     Paths,
     bfs_distances,
     enumerate_paths,
     shortest_paths,
+    shortest_paths_driver,
 )
 from wikipath_spark.operators.components import connected_components
 from wikipath_spark.operators.compress import compress_redirects, resolve_through
@@ -14,8 +16,15 @@ from wikipath_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
+from wikipath_spark.operators.kcore import coreness, k_core
 from wikipath_spark.operators.labelprop import label_propagation
-from wikipath_spark.operators.pagerank import pagerank, pagerank_numpy_oracle
+from wikipath_spark.operators.pagerank import (
+    pagerank,
+    pagerank_fixedpoint,
+    pagerank_multi,
+    pagerank_multi_fixedpoint,
+    pagerank_numpy_oracle,
+)
 from wikipath_spark.operators.similarity import (
     add_lsh_bucket,
     cosine_topk,
@@ -30,6 +39,9 @@ __all__ = [
     "bfs_distances",
     "enumerate_paths",
     "shortest_paths",
+    "shortest_paths_driver",
+    "checkpoint_tracked",
+    "release_checkpoint",
     "connected_components",
     "compress_redirects",
     "resolve_through",
@@ -39,8 +51,13 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_pairs",
+    "coreness",
+    "k_core",
     "label_propagation",
     "pagerank",
+    "pagerank_fixedpoint",
+    "pagerank_multi",
+    "pagerank_multi_fixedpoint",
     "pagerank_numpy_oracle",
     "add_lsh_bucket",
     "cosine_topk",
