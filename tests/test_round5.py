@@ -157,7 +157,10 @@ def test_hot_reload_serves_rewritten_dataset_without_refresh(spark, tmp_path):
     # build g2 up front so its internal persists don't skew the storage count
     g2 = build_graph(spark, synthetic_repos(spark, classes_per_repo=200, repos=1))
     cat.save("repoA", commit, g1)
-    svc = LinkGraphService(cat)
+    # interval 0 = check the on-disk fingerprint on every request (the test
+    # rewrites and reopens immediately; the default 1s debounce would
+    # legitimately trust the pin for that window)
+    svc = LinkGraphService(cat, reload_check_interval_s=0.0)
     ds1 = svc._open("repoA", commit)
     n1 = ds1.lookup.count()
     assert svc._open("repoA", commit) is ds1  # unchanged on disk: same pin
@@ -455,3 +458,32 @@ def test_concurrent_opens_single_pin(spark, catalog5):
     assert len({id(ds) for ds in seen}) == 1, "racing opens created duplicate pins"
     assert len(svc._pinned) == 1
     svc.refresh()
+
+
+def test_hot_reload_check_is_debounced(spark, catalog5):
+    """Within reload_check_interval_s a pinned dataset is trusted without
+    re-walking its directory (the reference's watcher is debounced); after
+    the interval the rewrite is picked up."""
+    import wikipath_spark.api as api_mod
+
+    cat, commit = catalog5
+    svc = LinkGraphService(cat, reload_check_interval_s=3600.0)
+    ds = svc._open("repoA", commit)
+    calls = []
+    orig = api_mod._dataset_snapshot
+
+    def counting_snapshot(base):
+        calls.append(base)
+        return orig(base)
+
+    api_mod._dataset_snapshot = counting_snapshot
+    try:
+        for _ in range(5):
+            assert svc._open("repoA", commit) is ds
+        assert calls == [], "debounce window must skip the per-request walk"
+        ds.checked_at = 0.0  # force the window to lapse
+        assert svc._open("repoA", commit) is ds  # unchanged data: same pin
+        assert len(calls) == 1
+    finally:
+        api_mod._dataset_snapshot = orig
+        svc.refresh()

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
@@ -94,6 +95,7 @@ class _PinnedDataset:
     # (operators/bfs.shortest_paths_driver) — full serving parity with the
     # reference answering every query from its memory-mapped DB
     snapshot: tuple = ()    # on-disk fingerprint at open time (hot reload)
+    checked_at: float = 0.0  # monotonic time of the last snapshot comparison
 
     def unpin(self) -> None:
         self.lookup.unpersist()
@@ -122,6 +124,11 @@ class LinkGraphService:
     # Sizing: ~100-150 B/edge across the two dicts ⇒ ~150-300 MB at the
     # default cap; big graphs keep the distributed BFS over cached frames
     driver_adjacency_max_edges: int = 1_000_000
+    # hot-reload check debounce: the reference's file watcher is debounced
+    # (serve.rs:155-192); re-walking the dataset dir on EVERY request would
+    # put one os.walk per query on the zero-job fast lane.  A rewrite is
+    # picked up at most this many seconds late; 0 checks every request.
+    reload_check_interval_s: float = 1.0
     _pinned: dict = field(default_factory=dict, init=False, repr=False)
     # pin management is serialized: the reference's serve loop handles
     # concurrent HTTP requests, and two threads racing _open/refresh could
@@ -155,8 +162,15 @@ class LinkGraphService:
         if key in self._pinned:
             # auto hot-reload (serve.rs:155-192 parity): a dataset rewritten
             # on disk since it was pinned is dropped and re-opened, no manual
-            # refresh() needed; unchanged datasets keep their cached frames
-            if self._pinned[key].snapshot == _dataset_snapshot(base):
+            # refresh() needed; unchanged datasets keep their cached frames.
+            # Debounced like the reference's watcher: within the interval
+            # the pin is trusted without re-walking the directory.
+            now = time.monotonic()
+            ds = self._pinned[key]
+            fresh = now - ds.checked_at < self.reload_check_interval_s
+            if fresh or ds.snapshot == _dataset_snapshot(base):
+                if not fresh:
+                    ds.checked_at = now
                 self._pinned[key] = self._pinned.pop(key)  # LRU: move to newest
                 return self._pinned[key]
             self._pinned.pop(key).unpin()
@@ -212,7 +226,7 @@ class LinkGraphService:
         self._pinned[key] = _PinnedDataset(
             tables=tables, lookup=lookup, by_fkey=by_fkey, by_id=by_id,
             redirect_map=redirect_map, adj_out=adj_out, adj_in=adj_in,
-            snapshot=snapshot,
+            snapshot=snapshot, checked_at=time.monotonic(),
         )
         return self._pinned[key]
 
