@@ -98,3 +98,12 @@ def test_ci_equal(spark):
     rows = df.select(ci_equal(F.col("a"), F.col("b")).alias("got"), "want").collect()
     assert all(r.got == r.want for r in rows)
     assert df.select(fold_accents(F.lit("ñandú")).alias("x")).collect()[0].x == "nandu"
+
+
+def test_event_time_sessions_pushdown_and_pruning(spark):
+    """events_sessions (session_window over the events table): the null-ts
+    filter must reach the parquet scan as a pushed filter and the scan must
+    read only the three referenced columns (not the 6-column table)."""
+    plan = _plan(entrymod.q_events_sessions(spark, SF))
+    assert "IsNotNull(ts)" in plan          # PushedFilters
+    assert "event_type" not in plan and "props" not in plan  # column pruning
