@@ -481,9 +481,68 @@ def test_hot_reload_check_is_debounced(spark, catalog5):
         for _ in range(5):
             assert svc._open("repoA", commit) is ds
         assert calls == [], "debounce window must skip the per-request walk"
-        ds.checked_at = 0.0  # force the window to lapse
+        # monotonic() is time-since-boot on Linux — subtract past the
+        # interval instead of assuming 0.0 is "long ago"
+        import time as _time
+
+        ds.checked_at = _time.monotonic() - (svc.reload_check_interval_s + 1)
         assert svc._open("repoA", commit) is ds  # unchanged data: same pin
         assert len(calls) == 1
     finally:
         api_mod._dataset_snapshot = orig
+        svc.refresh()
+
+
+def test_inflight_request_survives_retirement(spark, catalog5):
+    """A hot-reload/eviction while a request is in flight must RETIRE the
+    pin without unpersisting frames the request still reads; the frames
+    release when the last holder exits (the reference's atomic swap keeps
+    the old DB alive for open handles)."""
+    cat, commit = catalog5
+    svc = LinkGraphService(cat)
+    with svc._checkout("repoA", commit) as ds:
+        assert ds.refs == 1
+        svc.refresh()  # concurrent swap: retires every pin
+        assert ds.retired
+        # frames must still be cached for the in-flight query
+        assert ds.tables.edges.storageLevel.useMemory
+        assert ds.lookup.storageLevel.useMemory
+    # last holder gone: released
+    assert ds.refs == 0
+    assert not ds.tables.edges.storageLevel.useMemory
+
+
+def test_cold_open_does_not_hold_the_lock(spark, catalog5):
+    """A cold open must not serialize requests for OTHER already-pinned
+    datasets: while repoB builds (slow), a fast-lane probe of pinned repoA
+    completes."""
+    import threading
+    import time as _time
+
+    cat, commit = catalog5
+    svc = LinkGraphService(cat)
+    svc._open("repoA", commit)  # pin the fast lane
+    orig_build = svc._build_pin
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_build(tables, snapshot):
+        entered.set()
+        release.wait(30)
+        return orig_build(tables, snapshot)
+
+    svc._build_pin = slow_build
+    t = threading.Thread(target=lambda: svc._open("repoB", commit))
+    t.start()
+    try:
+        assert entered.wait(30), "builder never started"
+        t0 = _time.monotonic()
+        out = svc.shortest_paths("repoA", commit, "src/pkg1/mod3.py", "src/pkg0/mod0.py")
+        dt = _time.monotonic() - t0
+        assert out["count"] >= 1
+        assert dt < 5, f"fast-lane request stalled {dt:.1f}s behind a cold open"
+    finally:
+        release.set()
+        t.join()
+        svc._build_pin = orig_build
         svc.refresh()

@@ -96,11 +96,26 @@ class _PinnedDataset:
     # reference answering every query from its memory-mapped DB
     snapshot: tuple = ()    # on-disk fingerprint at open time (hot reload)
     checked_at: float = 0.0  # monotonic time of the last snapshot comparison
+    refs: int = 0           # in-flight requests reading this pin (guarded by
+    retired: bool = False   # the service lock); retired = superseded — the
+    # frames release once the last in-flight request finishes, so a
+    # hot-reload or LRU eviction can never unpersist a dataset out from
+    # under a concurrent distributed query (the reference's atomic swap
+    # keeps the old DB alive for handles that already opened it)
 
-    def unpin(self) -> None:
+    def retire(self) -> None:
+        self.retired = True
+        if self.refs == 0:
+            self._release()
+
+    def _release(self) -> None:
         self.lookup.unpersist()
         self.tables.edges.unpersist()
         self.tables.redirects.unpersist()
+
+    # immediate-release spelling kept for direct callers/tests
+    def unpin(self) -> None:
+        self.retire()
 
 
 @dataclass
@@ -136,6 +151,11 @@ class LinkGraphService:
     # Queries themselves (driver-dict probes, BFS over already-pinned
     # frames) run outside the lock — only the pin-state transitions lock.
     _lock: threading.RLock = field(default_factory=threading.RLock, init=False, repr=False)
+    # per-key build coordination: cold opens run OUTSIDE the lock (they cost
+    # seconds of Spark jobs; holding the lock would stall the zero-job fast
+    # lane for every other pinned dataset) — racing openers of the SAME key
+    # wait on its event instead of building twice
+    _opening: dict = field(default_factory=dict, init=False, repr=False)
 
     def list_datasets(self) -> list[dict]:
         return [
@@ -149,47 +169,100 @@ class LinkGraphService:
         storage, picking up rewritten tables."""
         with self._lock:
             for ds in self._pinned.values():
-                ds.unpin()
+                ds.retire()
             self._pinned.clear()
 
-    def _open(self, repo: str, commit: str) -> _PinnedDataset:
-        with self._lock:
-            return self._open_locked(repo, commit)
-
-    def _open_locked(self, repo: str, commit: str) -> _PinnedDataset:
+    def _open(self, repo: str, commit: str, _pin_ref: bool = False) -> _PinnedDataset:
+        """Return the pinned dataset for (repo, commit), building it on first
+        use.  Hot path (already pinned, debounce window or unchanged on
+        disk): a dict probe under the lock.  Cold path: ONE thread builds
+        the pin outside the lock (racing openers of the same key wait on its
+        event) so requests for other pinned datasets never stall behind a
+        multi-second open.  ``_pin_ref`` atomically takes a reference (see
+        :meth:`_checkout`)."""
         key = (repo, commit)
         base = os.path.join(self.catalog.root, dataset_name(repo, commit))
-        if key in self._pinned:
-            # auto hot-reload (serve.rs:155-192 parity): a dataset rewritten
-            # on disk since it was pinned is dropped and re-opened, no manual
-            # refresh() needed; unchanged datasets keep their cached frames.
-            # Debounced like the reference's watcher: within the interval
-            # the pin is trusted without re-walking the directory.
-            now = time.monotonic()
-            ds = self._pinned[key]
-            fresh = now - ds.checked_at < self.reload_check_interval_s
-            if fresh or ds.snapshot == _dataset_snapshot(base):
-                if not fresh:
-                    ds.checked_at = now
-                self._pinned[key] = self._pinned.pop(key)  # LRU: move to newest
-                return self._pinned[key]
-            self._pinned.pop(key).unpin()
-        snapshot = _dataset_snapshot(base)  # taken BEFORE reading: a rewrite
-        # racing the open makes the next request's comparison fail → re-open
-        # catalog.get runs BEFORE eviction: it raises for an unknown
-        # (repo, commit) while still fully lazy (no persist, no jobs), so a
-        # typo'd request cannot cost a healthy dataset its pin
-        tables = self.catalog.get(repo, commit)
-        # LRU eviction BEFORE the incoming dataset persists anything: evicting
-        # after would transiently hold max_pinned+1 datasets' executor storage
-        # (and driver index heap) at the boundary.  Plain dicts iterate in
-        # insertion order and _open re-inserts on every hit, so the first key
-        # is the least recent.
-        while len(self._pinned) > max(0, self.max_pinned - 1):
+        while True:
+            with self._lock:
+                ds = self._pinned.get(key)
+                if ds is not None:
+                    # auto hot-reload (serve.rs:155-192 parity): a dataset
+                    # rewritten on disk since it was pinned is retired and
+                    # re-opened, no manual refresh() needed.  Debounced like
+                    # the reference's watcher: within the interval the pin
+                    # is trusted without re-walking the directory.
+                    now = time.monotonic()
+                    fresh = now - ds.checked_at < self.reload_check_interval_s
+                    if fresh or ds.snapshot == _dataset_snapshot(base):
+                        if not fresh:
+                            ds.checked_at = now
+                        self._pinned[key] = self._pinned.pop(key)  # LRU: newest
+                        if _pin_ref:
+                            ds.refs += 1
+                        return ds
+                    self._pinned.pop(key).retire()
+                ev = self._opening.get(key)
+                if ev is None:
+                    self._opening[key] = ev = threading.Event()
+                    break  # this thread builds the pin
+            ev.wait()  # another thread is building it: wait, then re-check
+        try:
+            snapshot = _dataset_snapshot(base)  # taken BEFORE reading: a
+            # rewrite racing the open fails the next comparison → re-open.
+            # catalog.get runs BEFORE eviction: it raises for an unknown
+            # (repo, commit) while still fully lazy (no persist, no jobs),
+            # so a typo'd request cannot cost a healthy dataset its pin
+            tables = self.catalog.get(repo, commit)
+            with self._lock:
+                # LRU eviction BEFORE the incoming dataset persists anything:
+                # evicting after would transiently hold max_pinned+1
+                # datasets' executor storage.  Plain dicts iterate in
+                # insertion order and the hot path re-inserts on every hit,
+                # so the first key is the least recent.
+                self._evict_to(self.max_pinned - 1)
+            ds = self._build_pin(tables, snapshot)
+            with self._lock:
+                self._evict_to(self.max_pinned - 1)  # racing builders
+                self._pinned[key] = ds
+                if _pin_ref:
+                    ds.refs += 1
+            return ds
+        finally:
+            with self._lock:
+                self._opening.pop(key, None)
+            ev.set()
+
+    def _evict_to(self, n: int) -> None:
+        while len(self._pinned) > max(0, n):
             oldest = next(iter(self._pinned))
-            self._pinned.pop(oldest).unpin()
+            self._pinned.pop(oldest).retire()
+
+    def _checkout(self, repo: str, commit: str):
+        """Context manager for one request: opens the dataset and holds a
+        reference for the request's duration, so a concurrent hot-reload or
+        LRU eviction retires the pin without unpersisting frames an
+        in-flight query is still reading — the frames release when the last
+        holder exits."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            ds = self._open(repo, commit, _pin_ref=True)
+            try:
+                yield ds
+            finally:
+                with self._lock:
+                    ds.refs -= 1
+                    if ds.retired and ds.refs == 0:
+                        ds._release()
+
+        return cm()
+
+    def _build_pin(self, tables, snapshot: tuple) -> _PinnedDataset:
+        """Persist + index one dataset (the expensive part of an open; runs
+        outside the service lock)."""
         tables.edges = tables.edges.persist()
-        tables.edges.count()  # pin eagerly: supersteps reuse the cache
+        n_edges = tables.edges.count()  # pin eagerly: supersteps reuse the cache
         tables.redirects = tables.redirects.persist()
         lookup = tables.pages.select(
             "page_id",
@@ -218,17 +291,16 @@ class LinkGraphService:
             }
             # adjacency joins the pin when the edge set also fits: the BFS
             # itself then never leaves the driver (search.rs serving parity)
-            if tables.edges.count() <= self.driver_adjacency_max_edges:
+            if n_edges <= self.driver_adjacency_max_edges:
                 adj_out, adj_in = {}, {}
                 for r in tables.edges.select("src", "dst").collect():
                     adj_out.setdefault(r.src, []).append(r.dst)
                     adj_in.setdefault(r.dst, []).append(r.src)
-        self._pinned[key] = _PinnedDataset(
+        return _PinnedDataset(
             tables=tables, lookup=lookup, by_fkey=by_fkey, by_id=by_id,
             redirect_map=redirect_map, adj_out=adj_out, adj_in=adj_in,
             snapshot=snapshot, checked_at=time.monotonic(),
         )
-        return self._pinned[key]
 
     def _page_id(self, ds: _PinnedDataset, path: str) -> int | None:
         """Path → page id, case/accent-insensitively (the reference frontend
@@ -273,7 +345,16 @@ class LinkGraphService:
         service-level wall-clock cap for this request (None inherits it);
         exceeding it raises ``QueryBudgetExceeded`` for the transport layer
         to map to a timeout response (serve.rs:203-206)."""
-        ds = self._open(repo, commit)
+        with self._checkout(repo, commit) as ds:
+            return self._shortest_paths_on(
+                ds, repo, commit, source_path, target_path,
+                max_paths, max_supersteps, budget_s,
+            )
+
+    def _shortest_paths_on(
+        self, ds, repo, commit, source_path, target_path,
+        max_paths, max_supersteps, budget_s,
+    ) -> dict:
         src_id = self._page_id(ds, source_path)
         dst_id = self._page_id(ds, target_path)
         if src_id is None or dst_id is None:

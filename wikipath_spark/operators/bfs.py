@@ -100,6 +100,58 @@ def _resolve(redirects: DataFrame | dict | None, vertex: int) -> tuple[int, bool
     return (row[0].dst, True) if row else (vertex, False)
 
 
+def _assemble_paths(
+    res: Paths,
+    fwd_edges: list,
+    bwd_edges: list,
+    src_id: int,
+    dst_id: int,
+    meeting_ids,
+) -> Paths:
+    """Shared tail of both BFS lanes: memoized path-count DP over the
+    collected shortest-path DAG edges (≈ count_paths search.rs:191-217) and
+    the source→target ``links`` map.  ONE implementation — the distributed
+    operator and the driver-side twin both end here, so the lanes cannot
+    drift apart in counting or link assembly."""
+    import collections
+
+    indeg: dict[int, list[int]] = collections.defaultdict(list)
+    for p, i in fwd_edges:
+        indeg[i].append(p)
+    fmemo: dict[int, int] = {}
+
+    def fcount(v: int) -> int:
+        if v == src_id:
+            return 1
+        if v not in fmemo:
+            fmemo[v] = sum(fcount(p) for p in indeg[v])
+        return fmemo[v]
+
+    outdeg: dict[int, list[int]] = collections.defaultdict(list)
+    for i, s in bwd_edges:
+        outdeg[i].append(s)
+    bmemo: dict[int, int] = {}
+
+    def bcount(v: int) -> int:
+        if v == dst_id:
+            return 1
+        if v not in bmemo:
+            bmemo[v] = sum(bcount(s) for s in outdeg[v])
+        return bmemo[v]
+
+    res.count = sum(fcount(v) * bcount(v) for v in meeting_ids)
+
+    # links: union of both sides' traversed edges, in source→target direction
+    links: dict[int, set[int]] = {}
+    for p, i in fwd_edges:
+        links.setdefault(p, set()).add(i)
+    for i, s in bwd_edges:
+        links.setdefault(i, set()).add(s)
+    res.links = {k: sorted(v) for k, v in sorted(links.items())}
+    return res
+
+
+
 def shortest_paths(
     edges: DataFrame,
     source: int,
@@ -215,8 +267,6 @@ def shortest_paths(
         # Collected sets stay small (the result DAG is the API payload).
         meet_ids = {r.id for r in meeting.collect()}
 
-        links: dict[int, set[int]] = {}
-
         # ONE job per layer per side (round 2 additionally probed every layer for
         # each meeting vertex's depth — fused away): each vertex appears in
         # exactly ONE dag layer (frontiers are anti-joined against visited), so
@@ -243,42 +293,7 @@ def shortest_paths(
         # (id, succ) edges from the meeting set toward the target
         bwd_edges = walk(bwd_dag, ("id", "succ"), grow_on="succ")
 
-        # DP over collected edges (memoized, ≈ count_paths search.rs:191-217)
-        import collections
-
-        indeg: dict[int, list[int]] = collections.defaultdict(list)
-        for p, i in fwd_edges:
-            indeg[i].append(p)
-
-        def fcount(v: int, memo={}) -> int:
-            if v == src_id:
-                return 1
-            if v in memo:
-                return memo[v]
-            memo[v] = sum(fcount(p) for p in indeg[v])
-            return memo[v]
-
-        outdeg: dict[int, list[int]] = collections.defaultdict(list)
-        for i, s in bwd_edges:
-            outdeg[i].append(s)
-
-        def bcount(v: int, memo={}) -> int:
-            if v == dst_id:
-                return 1
-            if v in memo:
-                return memo[v]
-            memo[v] = sum(bcount(s) for s in outdeg[v])
-            return memo[v]
-
-        res.count = sum(fcount(v) * bcount(v) for v in meet_ids)
-
-        # links: union of both sides' traversed edges, in source→target direction
-        for p, i in fwd_edges:
-            links.setdefault(p, set()).add(i)
-        for i, s in bwd_edges:
-            links.setdefault(i, set()).add(s)
-        res.links = {k: sorted(v) for k, v in sorted(links.items())}
-        return res
+        return _assemble_paths(res, fwd_edges, bwd_edges, src_id, dst_id, meet_ids)
 
     finally:
         # per-level persists (dag layers, meeting set) must not outlive
@@ -559,38 +574,4 @@ def shortest_paths_driver(
     # (id, succ) edges from the meeting set toward the target
     bwd_edges = walk(bwd_dag, grow_on=1)
 
-    import collections
-
-    indeg: dict[int, list[int]] = collections.defaultdict(list)
-    for p, i in fwd_edges:
-        indeg[i].append(p)
-    fmemo: dict[int, int] = {}
-
-    def fcount(v: int) -> int:
-        if v == src_id:
-            return 1
-        if v not in fmemo:
-            fmemo[v] = sum(fcount(p) for p in indeg[v])
-        return fmemo[v]
-
-    outdeg: dict[int, list[int]] = collections.defaultdict(list)
-    for i, s in bwd_edges:
-        outdeg[i].append(s)
-    bmemo: dict[int, int] = {}
-
-    def bcount(v: int) -> int:
-        if v == dst_id:
-            return 1
-        if v not in bmemo:
-            bmemo[v] = sum(bcount(s) for s in outdeg[v])
-        return bmemo[v]
-
-    res.count = sum(fcount(v) * bcount(v) for v in meeting)
-
-    links: dict[int, set[int]] = {}
-    for p, i in fwd_edges:
-        links.setdefault(p, set()).add(i)
-    for i, s in bwd_edges:
-        links.setdefault(i, set()).add(s)
-    res.links = {k: sorted(v) for k, v in sorted(links.items())}
-    return res
+    return _assemble_paths(res, fwd_edges, bwd_edges, src_id, dst_id, meeting)
