@@ -137,31 +137,40 @@ def _pagerank_loop(
 
         out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
         # contribution edges: weight = 1/out_deg, partitioned once by src and
-        # reused every superstep (the join's build side never re-shuffles)
-        contrib_edges = (
+        # reused every superstep (the join's build side never re-shuffles).
+        # checkpoint_tracked, not persist: a cached frame EMBEDS its whole
+        # build lineage in every superstep's logical plan, and Catalyst
+        # re-analyzes that tree per iteration — with a LogicalRDD leaf the
+        # per-superstep plan is a few nodes (measured in OPTIMIZATION_r06.md:
+        # driver-side plan build 0.10s → 0.03s per superstep).  AQE is off
+        # here (loop_confs), so the hash(src) partitioning and sort survive
+        # the checkpoint and the superstep join still needs no exchange.
+        contrib_edges = checkpoint_tracked(
             edges.join(out_deg, "src")
             .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
             .repartition(sc_parts, "src")
-            .persist()
         )
-        contrib_edges.count()  # materialize
 
         # dangling flag lives on the vertex frame so the per-superstep action
         # can produce next iteration's dangling mass and the convergence delta
-        # in ONE aggregation (one Spark job per superstep, not three)
-        srcs = edges.select("src").distinct()
-        vflag = (
+        # in ONE aggregation (one Spark job per superstep, not three).
+        # src ids come from the checkpointed contribution table — already
+        # hash(src)-partitioned, so the distinct needs no exchange (the old
+        # edges.select(src).distinct() re-shuffled the raw edge table); the
+        # initial dangling mass rides the materializing checkpoint as an
+        # observe instead of a separate filter+count job.
+        srcs = contrib_edges.select("src").distinct()
+        vobs = Observation("pr_init")
+        vflag = checkpoint_tracked(
             vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
             .select("page_id", F.col("src").isNull().alias("is_dangling"))
             .repartition(sc_parts, "page_id")
-            .persist()
+            .observe(vobs, F.sum(F.col("is_dangling").cast("long")).alias("nd"))
         )
-        vflag.count()
-
         ranks = vflag.select(
             "page_id", F.lit(1.0 / n).alias("rank"), "is_dangling"
         ).persist()
-        dangling_mass = vflag.filter("is_dangling").count() * (1.0 / n)
+        dangling_mass = int(vobs.get["nd"] or 0) * (1.0 / n)
         start_it = 0
         if checkpoint_mgr is not None and resume:
             latest = checkpoint_mgr.latest()
@@ -199,10 +208,10 @@ def _pagerank_loop(
         raise
     finally:
         if contrib_edges is not None:
-            contrib_edges.unpersist()
+            release_checkpoint(contrib_edges)
         vertices.unpersist()
         if vflag is not None:
-            vflag.unpersist()
+            release_checkpoint(vflag)
 
 
 def _pagerank_iterate(

@@ -46,11 +46,22 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col))).first()
+    return int(row[0]) if row else 0
+
+
 def _pair_cosine() -> F.Column:
     """Cosine from a pre-joined pair row (emb_a, emb_b, na, nb).  Norms are
     computed once per VECTOR before the join (each is an array fold;
     higher-order functions run interpreted, so folding per pair costs 3× per
-    candidate) — identical arithmetic, identical rounding as with_cosine."""
+    candidate) — identical arithmetic, identical rounding as with_cosine.
+    Round-6 note: a flat 64-term codegen expression (Σ CAST(a[d])·CAST(b[d]))
+    was A/B'd here and measured ~2.3× SLOWER than the interpreted fold
+    (1.6s vs 3.8s warm on the sf0.1 cross join) — per-element GetArrayItem
+    in generated code loses to the fold's single primitive-array pass, so
+    the fold stays and the exact baseline moved to an Arrow kernel
+    (:func:`cosine_topk`) instead."""
     return F.round(_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6)
 
 
@@ -64,23 +75,69 @@ def cosine_topk(
     """Exact top-k cosine neighbors per query: (query_id, neighbor_id, cosine, rank).
 
     ``queries`` is a subset of ``embeddings`` (same schema); self-matches are
-    excluded.  Exact top-k inherently computes |Q|·|C| cosines; the physical
-    plan is ONE broadcast nested-loop pass (Catalyst builds the smaller side
-    — the query set at scale) streaming the corpus, no shuffle: the optimal
-    exact plan, and the correctness baseline for the approximate paths
-    (``cosine_topk_lsh``, ``ivf_topk``), which shrink the candidate set
-    instead."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("emb_a")
-    ).withColumn("na", _norm(F.col("emb_a")))
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("emb_b")
-    ).withColumn("nb", _norm(F.col("emb_b")))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _pair_cosine())
-    )
+    excluded.  Exact top-k inherently computes |Q|·|C| cosines.  Round-6
+    physical plan (guide §4.2 — batch the per-pair math into native code):
+    the query side — the BROADCAST side of the old nested-loop plan, small
+    by definition — is collected once, and an Arrow kernel streams the
+    corpus, accumulating every (corpus-row × query) dot product dimension by
+    dimension in float64.  The d-ascending accumulation is the SAME IEEE
+    evaluation order as the interpreted array fold it replaces, so dots and
+    norms are bit-identical (oracle-hash-tested); each batch emits only the
+    pairs that can still reach the global top k under a 2e-6 guard around
+    the batch's kth best unrounded cosine (round-to-6 moves a value by at
+    most 5e-7, so anything below the guard is strictly outside the rounded
+    top k — proof in OPTIMIZATION_r06.md), and the EXACT rounded cosine,
+    ranking and tie-break run in Spark SQL on the kernel's (dot, na, nb) —
+    the same expressions the old plan evaluated per pair."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = embeddings.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    dim = Q.shape[1]
+
+    def seq_norm(M: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for d in range(M.shape[1]):
+            acc = acc + M[:, d] * M[:, d]
+        return np.sqrt(acc)
+
+    qn = seq_norm(Q)
+    guard = 2e-6
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            C = np.array(b[vec_col].tolist(), dtype=np.float64)
+            cids = b[id_col].to_numpy(dtype=np.int64)
+            cn = seq_norm(C)
+            acc = np.zeros((C.shape[0], Q.shape[0]), dtype=np.float64)
+            for d in range(dim):
+                acc = acc + C[:, d : d + 1] * Q[None, :, d]
+            cos = acc / (qn[None, :] * cn[:, None])
+            cos[cids[:, None] == qids[None, :]] = -np.inf  # self-matches out
+            nc = cos.shape[0]
+            if nc > k:
+                kth = np.partition(cos, nc - k, axis=0)[nc - k]
+            else:
+                kth = np.full(Q.shape[0], -np.inf)
+            keep = (cos >= (kth[None, :] - guard)) & (cids[:, None] != qids[None, :])
+            ri, ci = np.nonzero(keep)
+            yield pd.DataFrame({
+                "query_id": qids[ci], "neighbor_id": cids[ri],
+                "dot": acc[ri, ci], "na": qn[ci], "nb": cn[ri],
+            })
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, dot double, na double, nb double"
+    ).withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -153,8 +210,9 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,
     exact cosine re-rank within it.  Recall rises with fewer planes."""
-    emb_b = add_lsh_bucket(embeddings, vec_col, planes)
-    q_b = add_lsh_bucket(queries, vec_col, planes)
+    dim = _probe_dim(embeddings, vec_col)
+    emb_b = add_lsh_bucket(embeddings, vec_col, planes, dim=dim)
+    q_b = add_lsh_bucket(queries, vec_col, planes, dim=dim)
     q = q_b.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("emb_a"), "bucket"
     ).withColumn("na", _norm(F.col("emb_a")))

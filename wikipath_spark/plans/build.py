@@ -42,6 +42,7 @@ class GraphTables:
 
 _SHARD_TARGET_ROWS = 8_000_000  # max rows one dense-id window task should sort
 _DRIVER_OFFSET_LIMIT = 100_000  # (repos × shards) rows above which offsets go distributed
+_BROADCAST_PAGES_ROWS = 5_000_000  # id-probe side broadcast cap (~350 MB framed)
 
 
 def assign_dense_ids(
@@ -50,6 +51,7 @@ def assign_dense_ids(
     order_cols: tuple[str, ...] = ("path",),
     id_col: str = "page_id",
     shards: int | None = None,
+    dup_flag_col: str | None = None,
 ) -> DataFrame:
     """Deterministic dense 0..N-1 ids without a global window.
 
@@ -128,11 +130,20 @@ def assign_dense_ids(
             F.coalesce(F.sum("count").over(wo), F.lit(0)).cast("long").alias("_base"),
         )
     w = Window.partitionBy(partition_col, "_shard").orderBy(*order_cols)
-    return (
-        sharded.join(off_df, [partition_col, "_shard"])
-        .withColumn(id_col, F.row_number().over(w) + F.col("_base") - 1)
-        .drop("_base", "_shard")
+    out = sharded.join(off_df, [partition_col, "_shard"]).withColumn(
+        id_col, F.row_number().over(w) + F.col("_base") - 1
     )
+    if dup_flag_col is not None:
+        # duplicate-(partition, order)-key detector riding the SAME window
+        # sort: equal order keys hash to the same shard and sort adjacently,
+        # so lag-equality flags every duplicate beyond the first — zero
+        # extra shuffle, lets the caller observe conflicts on the
+        # materializing pass instead of running a groupBy job (A7)
+        dup = F.lag(F.struct(*[F.col(c) for c in order_cols])).over(w) == F.struct(
+            *[F.col(c) for c in order_cols]
+        )
+        out = out.withColumn(dup_flag_col, F.coalesce(dup, F.lit(False)))
+    return out.drop("_base", "_shard")
 
 
 def build_graph(
@@ -186,26 +197,40 @@ def build_graph(
             F.sum(F.size("_refs")).alias("raw_refs"),
             F.sum(F.when(F.col("_truncated"), 1).otherwise(0)).alias("truncated_rows"),
         )
-    pages = assign_dense_ids(page_rows).persist()
-
+    # conflict detection (A7, parse.rs:203-209) rides the dense-id window
+    # pass as a lag-equality flag + observe on the pages materialization —
+    # the previous groupBy+limit+collect job over the window output was the
+    # single most expensive build step at bench scale (measured 7.4s of a
+    # 24s cold build; the count() below materializes the same cache in ~1s)
+    conflict_obs = Observation("conflicts") if check_conflicts else None
+    assigned = assign_dense_ids(
+        page_rows, dup_flag_col="_dup" if check_conflicts else None
+    )
     if check_conflicts:
-        # (repo, path) must be unique — the analogue of the reference's
-        # hard failure on conflicting title→id rows (parse.rs:203-209);
-        # one aggregation over the already-persisted pages frame
-        conflict = (
-            pages.groupBy("repo", "path")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 1)
-            .limit(1)
-            .collect()
+        assigned = assigned.observe(
+            conflict_obs, F.sum(F.col("_dup").cast("long")).alias("dups")
+        ).drop("_dup")
+    pages = assigned.persist()
+    n_pages = pages.count()  # materializes the cache + collects the observes
+
+    if check_conflicts and int(conflict_obs.get["dups"] or 0) > 0:
+        # rare failure path: re-derive one offending key for the message
+        r = (
+            pages.groupBy("repo", "path").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1).limit(1).collect()[0]
         )
-        if conflict:
-            r = conflict[0]
-            raise ValueError(
-                f"conflicting source rows: ({r['repo']}, {r['path']}) appears {r['n']} times"
-            )
+        raise ValueError(
+            f"conflicting source rows: ({r['repo']}, {r['path']}) appears {r['n']} times"
+        )
 
     id_by_path = pages.select("repo", "path", "page_id")
+    # the (repo, path) → id probes below are equi-joins against the full
+    # page table; broadcast it while it fits (the bench-scale estimate from
+    # Catalyst is opaque behind the cache + window, so SMJ both sides
+    # otherwise) and fall back to shuffle joins above the row cap — the
+    # broadcast gate a 100 TB build needs anyway
+    if n_pages <= _BROADCAST_PAGES_ROWS:
+        id_by_path = F.broadcast(id_by_path)
 
     # alias rows → raw redirects; dangling alias targets drop out via the
     # inner join, like every unresolvable (ns,title) probe (parse.rs:243-247)

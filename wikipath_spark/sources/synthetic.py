@@ -135,7 +135,14 @@ def synthetic_repos(
     if classes_per_repo % 100 != 0:
         raise ValueError("classes_per_repo must be a multiple of 100 (alias-role groups)")
     n = classes_per_repo * 3 * repos
-    parts = partitions or max(4, n // 50_000)
+    # default partitioning tracks the cluster: generation + downstream regex
+    # extraction are the CPU-heavy stages of a build, and the old n//50_000
+    # sizing left a 72k-row bench build on 4 tasks of a 32-core machine
+    # (guide §2.6 idle capacity; measured in OPTIMIZATION_r06.md).  Rows are
+    # pure index arithmetic, so the split count never changes content.
+    parts = partitions or max(
+        4, min(n // 2_000 + 1, spark.sparkContext.defaultParallelism), n // 50_000
+    )
     schema = "repo string, path string, commit string, lang string, content string"
     m = classes_per_repo
 
