@@ -82,12 +82,16 @@ def test_simhash_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_exact_topk_is_one_broadcast_pass(spark):
-    """Exact cosine top-k must be a broadcast nested-loop pass (build the
-    small side, stream the other) — never a shuffle of |Q|x|C| pairs."""
+def test_exact_topk_is_one_arrow_pass(spark):
+    """Exact cosine top-k (round 6): the query side ships in the kernel
+    closure and ONE Arrow pass streams the corpus — no join at all, so no
+    shuffle of |Q|×|C| pairs can exist; the only exchange is the final
+    per-query top-k window over the kernel's guarded survivors."""
     plan = _plan(entrymod.q_cosine_topk(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "ShuffleExchange" not in plan.split("BroadcastNestedLoopJoin")[0]
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    # exactly one exchange: the window's hashpartitioning(query_id)
+    assert plan.count("+- Exchange") == 1 and "hashpartitioning(query_id" in plan
 
 
 def test_ci_equal(spark):
