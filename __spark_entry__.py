@@ -240,7 +240,11 @@ def q_cc_copurchase(spark, sf):  # G-new: connected components w/ SQL oracle
 
 
 def q_bfs_distances(spark, sf):  # J5/J6 frontier expansion w/ SQL oracle
-    e = _copurchase_edges(spark, sf)
+    # one materialization of the distinct edge set: the source-min probe and
+    # the operator's edge-layout checkpoint both read it — without the
+    # barrier the lineitem distinct ran twice (round-6; same rows, same
+    # source vertex, identical result)
+    e = _copurchase_edges(spark, sf).localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     source = e.agg(F.min("src")).collect()[0][0]
     return bfs_distances(sym, int(source), max_depth=12)
@@ -249,11 +253,26 @@ def q_bfs_distances(spark, sf):  # J5/J6 frontier expansion w/ SQL oracle
 def q_triangles_copurchase(spark, sf):  # triangle counting (bipartite → 0, but
     # union with part-part edges via shared order to make triangles exist)
     li = _t(spark, sf, "lineitem")
+    # round-6: per-order pair generation via ONE groupBy + array pair
+    # expansion instead of the lineitem self-join — one shuffle of the
+    # lineitem projection rather than two join-side shuffles (A/B at sf0.1:
+    # 1.2-1.5s vs 1.8-2.0s warm; identical 1.196M-row edge set).  Valid
+    # because order sizes are small and bounded here; a power-law
+    # "order" (hub group) would want the join form back, whose k² rows at
+    # least spread across the join's partitions.
     pp = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps)), "
+                    "y -> struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .distinct()
     )
     return triangles_per_vertex(pp)
@@ -422,10 +441,18 @@ def q_events_sessions(spark, sf):
     (streaming/sessions.py ``sessionize_event_time`` — same plan runs as a
     watermarked append-mode stream; this batch twin is what the gate
     oracles).  Oracle: DuckDB gaps-and-islands (lag + cumulative island id),
-    exact because both define a session break as diff ≥ gap."""
+    exact because both define a session break as diff ≥ gap.  The operator
+    returns exact sums (VERDICT r5 item 4); the hash-comparability rounding
+    lives HERE, next to the oracle that mirrors it — same query output."""
     from wikipath_spark.streaming.sessions import sessionize_event_time
 
-    return sessionize_event_time(_t(spark, sf, "events"), gap_s=_SESSION_GAP_S)
+    return sessionize_event_time(_t(spark, sf, "events"), gap_s=_SESSION_GAP_S).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
 
 
 _MIX_FRACTIONS = {"en": 0.7, "de": 0.4, "fr": 0.2}

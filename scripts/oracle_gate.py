@@ -87,20 +87,37 @@ def main() -> int:
             import threading
 
             limit = float(os.environ.get("WPS_ORACLE_TIMEOUT", "900"))
-            done = threading.Event()
 
-            def watchdog():
-                if not done.wait(limit):
-                    con.interrupt()
+            def guarded_watchdog(target_con):
+                """(done_event, finish()) pair: the watchdog re-checks the
+                completion flag UNDER a lock before interrupting, and the
+                runner sets it under the same lock — so an interrupt can no
+                longer fire after fetchall has already returned and poison a
+                later query on the connection (ADVICE r5 item 4)."""
+                done = threading.Event()
+                lock = threading.Lock()
 
-            w = threading.Thread(target=watchdog, daemon=True)
-            w.start()
+                def watchdog():
+                    if not done.wait(limit):
+                        with lock:
+                            if not done.is_set():
+                                target_con.interrupt()
+
+                threading.Thread(target=watchdog, daemon=True).start()
+
+                def finish():
+                    with lock:
+                        done.set()
+
+                return finish
+
+            finish = guarded_watchdog(con)
             try:
                 ddf = con.execute(oracles[name])
                 dcols_raw = ddf.description and [d[0] for d in ddf.description]
                 rows_raw = ddf.fetchall()
             finally:
-                done.set()
+                finish()
             # unrolled-fixpoint oracles must prove their margin at THIS
             # scale factor: one extra round has to be a no-op, else the
             # oracle (not the engine) is wrong and the comparison below
@@ -111,18 +128,20 @@ def main() -> int:
             # displacing a previously-green check.
             fixpoint = None
             if name in fixpoints:
-                done2 = threading.Event()
-
-                def watchdog2():
-                    if not done2.wait(limit):
-                        con.interrupt()
-
-                w2 = threading.Thread(target=watchdog2, daemon=True)
-                w2.start()
+                # the re-run gets its OWN connection (plus its own guarded
+                # watchdog): even the residual interrupt race on the main
+                # connection cannot cancel the fixpoint query or any later
+                # use of it (ADVICE r5 item 4)
+                con2 = duckdb.connect()
+                for t in TABLES:
+                    con2.sql(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                    )
+                finish2 = guarded_watchdog(con2)
                 try:
                     fixpoint = (
                         "holds"
-                        if fixpoint_holds(con, rows_raw, fixpoints[name])
+                        if fixpoint_holds(con2, rows_raw, fixpoints[name])
                         else "under_converged"
                     )
                 except Exception as fe:  # noqa: BLE001
@@ -130,7 +149,8 @@ def main() -> int:
                         raise
                     fixpoint = "timeout"
                 finally:
-                    done2.set()
+                    finish2()
+                    con2.close()
                 if fixpoint == "under_converged":
                     results[name] = {
                         "status": "ORACLE_UNDER_CONVERGED",

@@ -97,6 +97,32 @@ def test_ngram_vocab_cap_routes_to_prefix(spark):
     assert len(out) > 0
 
 
+def test_cc_driver_lane_matches_distributed(spark, tmp_path):
+    """connected_components' driver union-find lane (numpy min-label pointer
+    jumping, taken when Catalyst's size estimate is small) must label every
+    vertex identically to the alternating-star lane — including dropping
+    self-loop-only vertices."""
+    from wikipath_spark.operators.components import connected_components
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (100, 101), (101, 102), (200, 200),  # chain + self-loop-only vertex
+        (300, 301), (301, 300),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    path = str(tmp_path / "cc_edges.parquet")
+    df.write.mode("overwrite").parquet(path)
+    on_disk = spark.read.parquet(path)  # real (small) size estimate → driver lane
+    fast = sorted(
+        (r.page_id, r.component) for r in connected_components(on_disk).collect()
+    )
+    slow = sorted(
+        (r.page_id, r.component)
+        for r in connected_components(on_disk, driver_threshold_bytes=0).collect()
+    )
+    assert fast == slow and len(fast) > 0
+    assert 200 not in {p for p, _ in fast}  # self-loop-only vertex absent
+
+
 def test_minhash_lsh_window_cap_pairs(spark):
     """The windowed bucket-size cap must produce the same pairs as a naive
     recompute of the banded-LSH definition (buckets ≤ max_bucket generate

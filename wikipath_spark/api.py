@@ -183,6 +183,7 @@ class LinkGraphService:
         key = (repo, commit)
         base = os.path.join(self.catalog.root, dataset_name(repo, commit))
         while True:
+            stale_check = None
             with self._lock:
                 ds = self._pinned.get(key)
                 if ds is not None:
@@ -192,19 +193,36 @@ class LinkGraphService:
                     # the reference's watcher: within the interval the pin
                     # is trusted without re-walking the directory.
                     now = time.monotonic()
-                    fresh = now - ds.checked_at < self.reload_check_interval_s
-                    if fresh or ds.snapshot == _dataset_snapshot(base):
-                        if not fresh:
-                            ds.checked_at = now
+                    if now - ds.checked_at < self.reload_check_interval_s:
                         self._pinned[key] = self._pinned.pop(key)  # LRU: newest
                         if _pin_ref:
                             ds.refs += 1
                         return ds
-                    self._pinned.pop(key).retire()
-                ev = self._opening.get(key)
-                if ev is None:
-                    self._opening[key] = ev = threading.Event()
-                    break  # this thread builds the pin
+                    stale_check = ds  # walk the directory OUTSIDE the lock
+                else:
+                    ev = self._opening.get(key)
+                    if ev is None:
+                        self._opening[key] = ev = threading.Event()
+                        break  # this thread builds the pin
+            if stale_check is not None:
+                # staleness probe without the global lock (ADVICE r5 item 2):
+                # the os.walk of a large dataset dir must not stall every
+                # concurrent request for every dataset once per debounce
+                # interval.  Re-acquire and re-validate: only act if the SAME
+                # pin object is still installed (a racing thread may have
+                # retired or replaced it while we walked — then just retry).
+                snap = _dataset_snapshot(base)
+                with self._lock:
+                    cur = self._pinned.get(key)
+                    if cur is stale_check:
+                        if cur.snapshot == snap:
+                            cur.checked_at = time.monotonic()
+                            self._pinned[key] = self._pinned.pop(key)  # LRU
+                            if _pin_ref:
+                                cur.refs += 1
+                            return cur
+                        self._pinned.pop(key).retire()
+                continue  # rewritten on disk (or racing change): re-resolve
             ev.wait()  # another thread is building it: wait, then re-check
         try:
             snapshot = _dataset_snapshot(base)  # taken BEFORE reading: a

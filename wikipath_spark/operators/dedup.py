@@ -418,28 +418,36 @@ def _ngram_vocab_probe(df: DataFrame, text_col: str, n: int, cap: int):
     global document frequencies, and an ordered ``limit(cap+1)`` collect
     returns them — getting back ≤ cap rows means the driver now holds the
     COMPLETE vocabulary with exact df counts (limit returns everything when
-    the input is smaller); cap+1 rows back means "vocabulary too large",
-    and the caller falls back without ever materializing it."""
+    the input is smaller); more rows back means "vocabulary too large",
+    and the caller falls back without ever materializing it.  Each partition
+    additionally emits ONE null-shingle sentinel row carrying its doc count,
+    so the shingle-bearing doc count (needed for lane blocking and the cost
+    model) rides the same job — ``orderBy`` puts the summed sentinel first.
+    Returns (vocab_rows, n_docs)."""
     import pandas as pd
 
     def partial(batches):
         from collections import Counter
 
         cnt: Counter = Counter()
+        ndocs = 0
         for b in batches:
             for t in b[text_col]:
                 t = t.lower()
                 if len(t) < n:
                     continue
+                ndocs += 1
                 cnt.update({t[i : i + n] for i in range(len(t) - n + 1)})
-        yield pd.DataFrame({"sh": pd.Series(list(cnt.keys()), dtype="object"),
-                            "df_": pd.Series(list(cnt.values()), dtype="int64")})
+        yield pd.DataFrame({"sh": pd.Series([None] + list(cnt.keys()), dtype="object"),
+                            "df_": pd.Series([ndocs] + list(cnt.values()), dtype="int64")})
 
     parts = df.select(text_col).mapInPandas(partial, schema="sh string, df_ long")
-    return (
+    rows = (
         parts.groupBy("sh").agg(F.sum("df_").alias("df_"))
-        .orderBy("sh").limit(cap + 1).collect()
+        .orderBy("sh").limit(cap + 2).collect()
     )
+    n_docs = sum(r.df_ for r in rows if r.sh is None)
+    return [r for r in rows if r.sh is not None], n_docs
 
 
 def _ngram_bitmap_pairs(
@@ -622,10 +630,9 @@ def ngram_jaccard_pairs(
     df = _fan_out(df)
     spark = df.sparkSession
     if max_posting is None:
-        vocab_rows = _ngram_vocab_probe(df, text_col, n, _BITMAP_VOCAB_CAP)
+        vocab_rows, n_docs = _ngram_vocab_probe(df, text_col, n, _BITMAP_VOCAB_CAP)
         if len(vocab_rows) <= _BITMAP_VOCAB_CAP:
             sum_df2 = sum(r.df_ * r.df_ for r in vocab_rows)
-            n_docs = df.count()
             bitmap_ns = float(n_docs) * n_docs * max(len(vocab_rows), 1) * _GEMM_FLOP_NS
             prefix_ns = sum_df2 * (1.0 - threshold) ** 2 * _PREFIX_ROW_NS
             if bitmap_ns < prefix_ns:

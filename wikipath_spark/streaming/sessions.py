@@ -123,7 +123,10 @@ def sessionize_event_time(
 
     Output: ``(user_id, session_start, session_end, n_events, sum_value)``
     with start/end = min/max EVENT time (the stateful variant's schema; the
-    window's own end extends ``gap_s`` past the last event).
+    window's own end extends ``gap_s`` past the last event).  ``sum_value``
+    is the EXACT float sum (VERDICT r5 item 4: the round-to-2 that existed
+    only for oracle hash-comparability moved into the driver query /
+    oracle layer — presentation, not session semantics).
     """
     from pyspark.sql import functions as F
 
@@ -136,7 +139,7 @@ def sessionize_event_time(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("value").alias("sum_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
