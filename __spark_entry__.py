@@ -240,11 +240,13 @@ def q_cc_copurchase(spark, sf):  # G-new: connected components w/ SQL oracle
 
 
 def q_bfs_distances(spark, sf):  # J5/J6 frontier expansion w/ SQL oracle
-    # one materialization of the distinct edge set: the source-min probe and
-    # the operator's edge-layout checkpoint both read it — without the
-    # barrier the lineitem distinct ran twice (round-6; same rows, same
-    # source vertex, identical result)
-    e = _copurchase_edges(spark, sf).localCheckpoint(eager=True)
+    # plain lineage on purpose (round-6): the operator's small-input gate
+    # reads Catalyst's size estimate, which is only real for source-derived
+    # plans — a checkpoint barrier here would report MaxValue and force the
+    # distributed lane.  On the distributed lane the operator materializes
+    # the projection itself (_frontier_edges), so nothing recomputes per
+    # level either way; same rows, same source vertex.
+    e = _copurchase_edges(spark, sf)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     source = e.agg(F.min("src")).collect()[0][0]
     return bfs_distances(sym, int(source), max_depth=12)

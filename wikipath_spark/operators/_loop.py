@@ -50,6 +50,17 @@ def loop_confs(spark: SparkSession, rows: int | None = None, rows_per_partition:
             spark.conf.set(k, v)
 
 
+def estimated_bytes(df) -> int:
+    """Catalyst's optimizer size estimate for a frame — NO job.  Source- and
+    cache-derived plans carry real sizes; unknown plans report Long.MaxValue,
+    which safely routes adaptive driver/distributed lane choices to the
+    distributed lane."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return 1 << 62
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of every RDD currently registered with the block manager as
     persisted (public ``JavaSparkContext.getPersistentRDDs`` surface)."""

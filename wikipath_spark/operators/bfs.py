@@ -36,6 +36,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wikipath_spark.operators._loop import estimated_bytes
+
 
 class QueryBudgetExceeded(TimeoutError):
     """Raised when a query exceeds its wall-clock budget — the engine's
@@ -315,6 +317,45 @@ def shortest_paths(
         for _df in _persisted:
             _df.unpersist()
 
+def _bfs_driver_numpy(src_ids, dst_ids, sources, max_depth):
+    """Vectorized driver-side level-synchronous BFS over numpy id arrays:
+    factorize ids, sort edges by source into a CSR layout, expand frontiers
+    with array slicing — the same distances the distributed frontier loop
+    produces (BFS distances are partitioning-independent).  Returns
+    [(source, page_id, distance), ...] including (s, s, 0) seeds."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate([src_ids, dst_ids]), return_inverse=True)
+    ui, vi = inv[: len(src_ids)], inv[len(src_ids):]
+    order = np.argsort(ui, kind="stable")
+    ui_s, vi_s = ui[order], vi[order]
+    starts = np.searchsorted(ui_s, np.arange(len(ids)))
+    ends = np.searchsorted(ui_s, np.arange(len(ids)) + 1)
+    out: list[tuple[int, int, int]] = []
+    for s in sources:
+        pos = np.searchsorted(ids, s)
+        out.append((int(s), int(s), 0))
+        if pos >= len(ids) or ids[pos] != s:
+            continue  # source absent from the edge table: seed row only
+        visited = np.zeros(len(ids), dtype=bool)
+        visited[pos] = True
+        frontier = np.array([pos], dtype=np.int64)
+        for depth in range(1, max_depth + 1):
+            if not len(frontier):
+                break
+            nbrs = np.concatenate(
+                [vi_s[starts[f]: ends[f]] for f in frontier]
+            ) if len(frontier) else np.array([], dtype=np.int64)
+            nbrs = np.unique(nbrs)
+            nbrs = nbrs[~visited[nbrs]]
+            if not len(nbrs):
+                break
+            visited[nbrs] = True
+            out.extend((int(s), int(ids[j]), depth) for j in nbrs)
+            frontier = nbrs
+    return out
+
+
 def _frontier_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Edge projection for a frontier loop, materialized ONCE in the layout
     every level reuses: hash-partitioned AND sorted by the frontier-join key
@@ -355,6 +396,7 @@ def bfs_distances(
     checkpoint_interval: int = 5,
     resume: bool = False,
     budget_s: float | None = None,
+    driver_threshold_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Single-source BFS distances (level-synchronous frontier loop).
 
@@ -366,8 +408,35 @@ def bfs_distances(
     frontier is its maximum-distance layer — so a durable checkpoint of it
     every ``checkpoint_interval`` levels lets a restart continue from the
     last committed level.
+
+    Adaptive lane (round 6, the connected_components / serve-BFS pattern):
+    when Catalyst's size estimate says the edge table fits driver memory,
+    the whole traversal runs as one Arrow ``toPandas`` + vectorized CSR BFS
+    (:func:`_bfs_driver_numpy`) — each distributed level costs ~0.5s of
+    fixed scheduling regardless of frontier size (measured).  Identical
+    rows (distances are partitioning-independent; lane-equivalence-tested);
+    unknown-size plans report MaxValue and stay distributed.
     """
     spark = edges.sparkSession
+    if (
+        checkpoint_mgr is None
+        and not resume
+        and estimated_bytes(edges) <= driver_threshold_bytes
+    ):
+        import pandas as pd
+
+        pdf = edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ).toPandas()
+        rows = _bfs_driver_numpy(
+            pdf["u"].to_numpy(), pdf["v"].to_numpy(), [int(source)], max_depth
+        )
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"page_id": [r[1] for r in rows], "distance": [r[2] for r in rows]}
+            ),
+            "page_id long, distance int",
+        )
     check_budget = wall_budget(budget_s, "bfs_distances")
     # materialize the edge projection once, pre-partitioned and sorted for
     # the per-level frontier join (see _frontier_edges): an un-cached
@@ -426,6 +495,7 @@ def multi_source_bfs(
     checkpoint_interval: int = 5,
     resume: bool = False,
     budget_s: float | None = None,
+    driver_threshold_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Batched single-source BFS: ``(source, page_id, distance)`` for every
     vertex reachable from each source within ``max_depth`` hops.
@@ -443,8 +513,34 @@ def multi_source_bfs(
     at level d is exactly the distance == d layer — and a batch of k queries
     is precisely the long-running job worth resuming.  ``budget_s`` applies
     the serve path's wall-clock cap (serve.rs:203-206) to the batched entry
-    point; the check runs between supersteps, like :func:`shortest_paths`."""
+    point; the check runs between supersteps, like :func:`shortest_paths`.
+    Small-input driver lane: same gate and kernel as :func:`bfs_distances`,
+    looped over the source batch."""
     spark = edges.sparkSession
+    if (
+        checkpoint_mgr is None
+        and not resume
+        and estimated_bytes(edges) <= driver_threshold_bytes
+    ):
+        import pandas as pd
+
+        pdf = edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        ).toPandas()
+        rows = _bfs_driver_numpy(
+            pdf["u"].to_numpy(), pdf["v"].to_numpy(),
+            list(dict.fromkeys(int(s) for s in sources)), max_depth,
+        )
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "source": [r[0] for r in rows],
+                    "page_id": [r[1] for r in rows],
+                    "distance": [r[2] for r in rows],
+                }
+            ),
+            "source long, page_id long, distance int",
+        )
     check_budget = wall_budget(budget_s, "multi_source_bfs")
     e = _frontier_edges(edges, src, dst)
     seed = [(int(s), int(s), 0) for s in dict.fromkeys(sources)]

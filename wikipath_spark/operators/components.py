@@ -23,7 +23,11 @@ import warnings
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from wikipath_spark.operators._loop import checkpoint_tracked, release_checkpoint
+from wikipath_spark.operators._loop import (
+    checkpoint_tracked,
+    estimated_bytes,
+    release_checkpoint,
+)
 
 
 def _min_neighbor(edges: DataFrame) -> DataFrame:
@@ -87,16 +91,6 @@ def _cc_driver_numpy(src_ids, dst_ids):
     return ids, ids[label]
 
 
-def _estimated_bytes(df: DataFrame) -> int:
-    """Catalyst's optimizer size estimate for a frame — NO job.  Source- and
-    cache-derived plans carry real sizes; unknown plans report Long.MaxValue,
-    which safely routes to the distributed lane."""
-    try:
-        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-    except Exception:
-        return 1 << 62
-
-
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -131,7 +125,7 @@ def connected_components(
     if (
         checkpoint_mgr is None
         and not resume
-        and _estimated_bytes(edges) <= driver_threshold_bytes
+        and estimated_bytes(edges) <= driver_threshold_bytes
     ):
         import pandas as pd
 
