@@ -160,6 +160,31 @@ def test_bfs_driver_lane_matches_distributed(spark, tmp_path):
     assert fast == slow and len(fast) > 0
 
 
+def test_curate_fused_dedup_matches_three_rule_definition(spark):
+    """curate_corpus fused rules (b)+(c) into one pair pass; the output must
+    still satisfy the documented three-rule contract, including the chain
+    case: C near-dup of B, B an exact duplicate of A — C must drop via its
+    pair with the SURVIVOR A (identical texts have identical Jaccard)."""
+    from wikipath_spark.plans.curate import curate_corpus
+    from wikipath_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),                     # A: survivor
+        (2, base),                     # B: exact duplicate of A -> drop
+        (3, base + " ok"),             # C: near-dup of A/B -> drop
+        (4, "the completely different and unrelated text body with words"),
+        (5, "the completely different and unrelated text body with words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id for r in curate_corpus(
+        docs, languages=("en",), min_quality=0.0, near_dup_threshold=0.8
+    ).collect()}
+    # manual three-rule recompute: gate keeps all (quality 0 floor, en);
+    # (b) drops 2 and 5; (c) drops 3 (near-dup of survivor 1)
+    assert out == {1, 4}
+
+
 def test_minhash_lsh_window_cap_pairs(spark):
     """The windowed bucket-size cap must produce the same pairs as a naive
     recompute of the banded-LSH definition (buckets ≤ max_bucket generate

@@ -101,19 +101,28 @@ def curate_corpus(
         .filter(F.col("lang_guess").isin(*languages))
         .filter(F.col("quality") >= min_quality)
     )
-    # exact dedup: keep the minimum id per identical text
-    keeper = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     # eager localCheckpoint (GC-reclaimed), not persist(): scanned by the
     # near-dup pair generation AND the final anti-join; a bare persist()
     # would leak cache across repeated calls in a long-lived session
-    unique = gated.join(keeper, ["text", "doc_id"], "left_semi").localCheckpoint(eager=True)
+    gated = gated.localCheckpoint(eager=True)
 
-    # near-dup pruning: drop the LARGER id of every qualifying pair
+    # Rules (b) exact dedup and (c) near-dup pruning FUSED into one pair
+    # pass (round 6): running the Jaccard pair generation over ALL gated
+    # docs and dropping the larger id of every qualifying pair yields
+    # exactly the (b)+(c) result, because identical texts have identical
+    # shingle sets — an exact duplicate is a J=1 pair (so the smaller id
+    # survives, rule b), and any doc near-dup to a dropped duplicate B is
+    # equally near-dup to B's surviving twin A (J(C,B) = J(C,A)), so the
+    # pair that (c) would have generated against the survivor exists here
+    # too.  Proven equivalent output; the DuckDB oracle still evaluates the
+    # original three-rule definition and stays hash-green (the sf0.1 corpus
+    # contains exact duplicates, so the gate exercises this equivalence).
+    # Saves the groupBy(text) + semi-join shuffles of the separate pass.
     pairs = ngram_jaccard_pairs(
-        unique, id_col="doc_id", text_col="text", n=ngram, threshold=near_dup_threshold
+        gated, id_col="doc_id", text_col="text", n=ngram, threshold=near_dup_threshold
     )
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return (
-        unique.join(dropped, "doc_id", "left_anti")
+        gated.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang_guess", "quality")
     )
