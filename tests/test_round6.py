@@ -185,6 +185,24 @@ def test_curate_fused_dedup_matches_three_rule_definition(spark):
     assert out == {1, 4}
 
 
+def test_curate_short_text_duplicates_still_exact_dedup(spark):
+    """A gated text shorter than `ngram` CHARS has an empty char-shingle set,
+    so the fused pass alone would never generate its J=1 duplicate pair —
+    the short-doc guard must still apply rule (b) and drop the larger id."""
+    from wikipath_spark.plans.curate import curate_corpus
+
+    rows = [
+        (1, "the"),   # 3 chars < ngram=4: zero shingles; en marker, stopword
+        (2, "the"),   # exact duplicate -> rule (b) must drop despite no pair
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id for r in curate_corpus(
+        docs, languages=("en",), min_quality=0.0, near_dup_threshold=0.8
+    ).collect()}
+    assert out == {1, 3}
+
+
 def test_minhash_lsh_window_cap_pairs(spark):
     """The windowed bucket-size cap must produce the same pairs as a naive
     recompute of the banded-LSH definition (buckets ≤ max_bucket generate

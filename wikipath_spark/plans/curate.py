@@ -121,7 +121,21 @@ def curate_corpus(
     pairs = ngram_jaccard_pairs(
         gated, id_col="doc_id", text_col="text", n=ngram, threshold=near_dup_threshold
     )
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # Completeness guard for rule (b): a text shorter than `ngram` CHARS has
+    # an empty char-shingle set (the exact rows _shingle_sets drops), so its
+    # J=1 duplicate pair never generates and the fusion alone would keep
+    # both copies.  Exact dedup restricted to those rows only — the filter
+    # matches nothing on natural corpora (bench minimum is 10 words), so
+    # this is a near-empty aggregate folded into the same final action.
+    short = gated.filter(F.length("text") < ngram).select("doc_id", "text")
+    short_dups = (
+        short.join(short.groupBy("text").agg(F.min("doc_id").alias("_keep")), "text")
+        .filter(F.col("doc_id") != F.col("_keep"))
+        .select("doc_id")
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("doc_id")).unionByName(short_dups).distinct()
+    )
     return (
         gated.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang_guess", "quality")
