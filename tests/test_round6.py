@@ -243,3 +243,54 @@ def test_minhash_lsh_window_cap_pairs(spark):
         if j >= 0.5:
             expect.append((a, b, j))
     assert out == sorted(expect) and len(out) > 0
+
+
+def test_pagerank_empty_vertex_set_returns_usable_frame(spark):
+    """n==0 exit (now read off the vflag observe, not a separate count job):
+    the returned frame must be collectable AFTER pagerank() returns — it may
+    not depend on the vflag checkpoint, whose blocks the setup releases on
+    exit."""
+    from wikipath_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([], "page_id long")
+    res = pagerank(edges, vertices=verts)
+    assert res.converged and res.iterations == 0
+    assert res.ranks.collect() == []
+    assert res.ranks.columns == ["page_id", "rank"]
+
+
+def test_pagerank_auto_salt_short_circuit_exact(spark, edges_df):
+    """Auto-salt skips the degree-probe job when n_edges fits one task's
+    budget. Premise: the probe could only return 1 there (pick_salt on the
+    same edges == 1); conclusion: auto ranks are bit-identical to an
+    explicit salt_partials=1 run."""
+    from wikipath_spark.operators.pagerank import pagerank
+    from wikipath_spark.operators.skew import pick_salt
+
+    el = [(a, b) for a in range(1, 30) for b in range(1, 30) if (a * 7 + b) % 5 == 0]
+    df = edges_df(el)
+    assert pick_salt(df, key="dst", rows_per_task=5_000_000) == 1
+    auto = {r.page_id: r.rank for r in pagerank(df).ranks.collect()}
+    expl = {r.page_id: r.rank for r in pagerank(df, salt_partials=1).ranks.collect()}
+    assert auto == expl  # dict equality on floats = bitwise-equal ranks
+
+
+def test_compress_probe_boundary_lanes_identical(spark):
+    """The one-job limit(threshold+1) size probe: exactly-at-threshold input
+    takes the driver walk, one-over takes distributed pointer doubling, and
+    both produce the identical compressed map."""
+    from wikipath_spark.operators.compress import compress_redirects
+
+    chains = [(i, i + 100) for i in range(1, 11)] + [(200, 201), (201, 202)]
+    df = spark.createDataFrame(chains, "src long, dst long")
+    n = len(chains)
+    driver = {
+        (r.src, r.dst)
+        for r in compress_redirects(df, driver_threshold=n).collect()
+    }
+    dist = {
+        (r.src, r.dst)
+        for r in compress_redirects(df, driver_threshold=n - 1).collect()
+    }
+    assert driver == dist and len(driver) > 0

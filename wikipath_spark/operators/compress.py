@@ -84,14 +84,21 @@ def compress_redirects(
     # fixture: {1:2, 2:2} ⇒ both removed). A self-loop is stable under pointer
     # jumping and the final cycle anti-join removes it plus its feeders.
     r = redirects.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # size probe and driver-path input in ONE job: limit(threshold+1) returns
+    # the COMPLETE row set whenever the input is smaller (and early-stops the
+    # scan when it is not), so the common small-alias-map path pays a single
+    # action instead of the old checkpoint + count + collect triple.  The walk
+    # result is row-order independent (each chain's terminal is unique and
+    # cycle membership is a property of the map, not the visit order).
+    probe = r.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        spark = redirects.sparkSession
+        compressed = _compress_driver_side([(row.src, row.dst) for row in probe])
+        return spark.createDataFrame(compressed or [], "src long, dst long")
+    # distributed pointer doubling: NOW materialize once (every iteration
+    # re-reads the full table) and take the exact count for the log2 cap
     r = r.localCheckpoint(eager=True)
     n = r.count()
-    if n == 0:
-        return r
-    if n <= driver_threshold:
-        spark = redirects.sparkSession
-        compressed = _compress_driver_side([(row.src, row.dst) for row in r.collect()])
-        return spark.createDataFrame(compressed or [], "src long, dst long")
     cap = max_iters if max_iters is not None else int(math.ceil(math.log2(n + 1))) + 2
 
     for it in range(cap):

@@ -116,12 +116,7 @@ def _pagerank_loop(
             .union(edges.select(F.col("dst").alias("page_id")))
             .distinct()
         )
-    vertices = vertices.select("page_id").persist()
-    n = vertices.count()
-    if n == 0:
-        empty = vertices.withColumn("rank", F.lit(0.0))
-        vertices.unpersist()
-        return PageRankResult(empty, 0, 0.0, True)
+    vertices = vertices.select("page_id")
 
     # everything persisted below must be released on ANY exit — including a
     # failure during setup itself (e.g. a corrupt checkpoint raising from
@@ -132,8 +127,15 @@ def _pagerank_loop(
     try:
         if salt_partials is None:
             # auto (the default): salt so no hub's in-neighborhood exceeds one
-            # task's budget (SURVEY.md §4.2 — from the degree distribution)
-            salt_partials = pick_salt(edges, key="dst", rows_per_task=5_000_000)
+            # task's budget (SURVEY.md §4.2 — from the degree distribution).
+            # n_edges bounds every in-degree, so when the WHOLE edge table
+            # fits one task's budget the probe job could only return 1 —
+            # skip it (one fewer fixed-latency setup action; same salt, so
+            # the float sum grouping — and every rank bit — is unchanged)
+            salt_partials = (
+                1 if n_edges <= 5_000_000
+                else pick_salt(edges, key="dst", rows_per_task=5_000_000)
+            )
 
         out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
         # contribution edges: weight = 1/out_deg, partitioned once by src and
@@ -157,20 +159,33 @@ def _pagerank_loop(
         # src ids come from the checkpointed contribution table — already
         # hash(src)-partitioned, so the distinct needs no exchange (the old
         # edges.select(src).distinct() re-shuffled the raw edge table); the
-        # initial dangling mass rides the materializing checkpoint as an
-        # observe instead of a separate filter+count job.
+        # initial dangling mass AND the vertex count both ride the
+        # materializing checkpoint as observes (the old separate
+        # vertices.persist()+count() action — and its cache — are gone).
         srcs = contrib_edges.select("src").distinct()
         vobs = Observation("pr_init")
         vflag = checkpoint_tracked(
             vertices.join(srcs, vertices["page_id"] == srcs["src"], "left")
             .select("page_id", F.col("src").isNull().alias("is_dangling"))
             .repartition(sc_parts, "page_id")
-            .observe(vobs, F.sum(F.col("is_dangling").cast("long")).alias("nd"))
+            .observe(
+                vobs,
+                F.sum(F.col("is_dangling").cast("long")).alias("nd"),
+                F.count(F.lit(1)).alias("nv"),
+            )
         )
+        metrics = vobs.get
+        n = int(metrics["nv"] or 0)
+        if n == 0:
+            # empty-graph exit: derive from `vertices`, NOT vflag — the
+            # finally block releases vflag's checkpoint on this return
+            return PageRankResult(
+                vertices.withColumn("rank", F.lit(0.0)), 0, 0.0, True
+            )
         ranks = vflag.select(
             "page_id", F.lit(1.0 / n).alias("rank"), "is_dangling"
         ).persist()
-        dangling_mass = int(vobs.get["nd"] or 0) * (1.0 / n)
+        dangling_mass = int(metrics["nd"] or 0) * (1.0 / n)
         start_it = 0
         if checkpoint_mgr is not None and resume:
             latest = checkpoint_mgr.latest()
@@ -209,7 +224,6 @@ def _pagerank_loop(
     finally:
         if contrib_edges is not None:
             release_checkpoint(contrib_edges)
-        vertices.unpersist()
         if vflag is not None:
             release_checkpoint(vflag)
 
